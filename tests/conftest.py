@@ -1,0 +1,16 @@
+"""Test configuration: run on CPU with 8 virtual devices.
+
+This is the standard JAX pattern for exercising pjit/shard_map code without a
+pod (SURVEY.md §4): the same sharded programs that run on a TPU slice compile
+and execute on the virtual CPU mesh, so sharding invariants (determinism,
+psum correctness) are tested everywhere.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
