@@ -4,13 +4,20 @@ This is the standard JAX pattern for exercising pjit/shard_map code without a
 pod (SURVEY.md §4): the same sharded programs that run on a TPU slice compile
 and execute on the virtual CPU mesh, so sharding invariants (determinism,
 psum correctness) are tested everywhere.
+
+Note: this environment registers a TPU ('axon') PJRT plugin whose site hook
+overrides JAX_PLATFORMS, so the env var alone is not enough — we must flip
+jax_platforms through the config API after import, before backend init.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
