@@ -1,0 +1,294 @@
+"""Lights: analytic disk/ring area lights + environment maps with CDF
+importance sampling.
+
+Parity: src/lights/{disklight,ringlight,environmentlight}.cpp and the
+Piecewise2DDistribution sampler (texturepattern.cpp:72-109).  The light list
+is static per scene, so light functions take a LightData record and are
+unrolled (no dynamic dispatch); per-ray light *selection* is done by the
+integrator with masked evaluation over the (small) light set.
+
+Reference quirks preserved:
+  * ring Sample_Li pdf = 1/(pi*(1-k)) / (pi*r^2)   [double-pi; k=inner/r]
+    while ring Pdf()  = 1/(pi*(1-k^2)*r^2)          (ringlight.cpp:50,103)
+  * env pdf jacobian 1/(4*pi*|sin theta|)           (environmentlight.cpp:25)
+  * env tMax sentinel 2139095039.0 (int 0x7f7fffff as float)
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .scene import LIGHT_DISK, LIGHT_ENV, LIGHT_RING, Env2D, LightData
+from .sampling import uniform_sample_disk, uniform_sample_ring
+
+PI = np.float32(np.pi)
+TWO_PI = np.float32(2.0 * np.pi)
+ENV_TMAX = np.float32(2139095039.0)  # 0x7f7fffff as float (parity)
+
+
+def _safe_div(a, b):
+    ok = b != 0.0
+    return jnp.where(ok, a / jnp.where(ok, b, 1.0), 0.0)
+
+
+class LightEval(NamedTuple):
+    le: jnp.ndarray  # (N, 3) radiance (0 when pdf == 0)
+    pdf: jnp.ndarray  # (N,) solid-angle pdf
+    t: jnp.ndarray  # (N,) hit distance (inf when missed)
+
+
+def _xform_point(xf, p):
+    return p @ xf[:3, :3].T + xf[:3, 3]
+
+
+def _xform_dir(xf, d):
+    return d @ xf[:3, :3].T
+
+
+def _le_value(light: LightData, st):
+    """Le pattern value * intensity (constant or texture GetValue)."""
+    if light.le_tex is None:
+        le = jnp.broadcast_to(
+            jnp.asarray(light.le_const), st.shape[:-1] + (3,)
+        )
+    else:
+        img = jnp.asarray(light.le_tex)
+        h, w, _ = light.le_tex.shape
+        u = jnp.clip(st[..., 0], 1e-4, 0.9999)
+        v = jnp.clip(1.0 - st[..., 1], 1e-4, 0.9999)
+        iu = (np.float32(w) * u).astype(jnp.int32)
+        iv = (np.float32(h) * v).astype(jnp.int32)
+        le = img[iv, iu]
+    return le * np.float32(light.intensity)
+
+
+def _disk_like_eval(light: LightData, p, wi, is_ring: bool):
+    """Shared disk/ring Li + Pdf (disklight.cpp:62-104, ringlight.cpp:66-112)."""
+    xf = jnp.asarray(light.xf)
+    center = xf[:3, 3]
+    n = _xform_dir(xf, jnp.asarray([0.0, 0.0, -1.0], jnp.float32))
+    radius = np.float32(light.radius)
+
+    wi_dot_n = wi @ n
+    plane_d = jnp.dot(center, n)
+    t = _safe_div(plane_d - p @ n, wi_dot_n)
+    p_hit = p + t[..., None] * wi
+    delta = p_hit - center
+
+    ux = _xform_dir(xf, jnp.asarray([1.0, 0.0, 0.0], jnp.float32))
+    uy = _xform_dir(xf, jnp.asarray([0.0, 1.0, 0.0], jnp.float32))
+    u = (delta @ ux) / radius
+    v = (delta @ uy) / radius
+    st = jnp.stack([(u + 1.0) * 0.5, 1.0 - (v + 1.0) * 0.5], axis=-1)
+
+    dist2 = jnp.sum(delta * delta, axis=-1)
+    ok = (wi_dot_n < 0.0) & (t >= 0.0) & (dist2 <= radius * radius)
+    if is_ring:
+        inner = np.float32(light.inner_radius)
+        ok &= dist2 >= inner * inner
+        area_pdf = np.float32(
+            1.0
+            / (
+                np.pi
+                * (1.0 - (light.inner_radius**2) / (light.radius**2))
+                * light.radius**2
+            )
+        )
+    else:
+        area_pdf = np.float32(1.0 / (np.pi * light.radius**2))
+    pdf = jnp.where(ok, area_pdf * _safe_div(t * t, -wi_dot_n), 0.0)
+
+    le = jnp.where((pdf > 0.0)[..., None], _le_value(light, st), 0.0)
+    t_out = jnp.where(pdf > 0.0, t, np.float32(np.inf))
+    return LightEval(le=le, pdf=pdf, t=t_out)
+
+
+def _disk_like_sample(light: LightData, p, u2, is_ring: bool):
+    """Sample_Li (disklight.cpp:25-60, ringlight.cpp:26-64).
+
+    Returns (le, wi, pdf, t, st).
+    """
+    xf = jnp.asarray(light.xf)
+    radius = np.float32(light.radius)
+    if is_ring:
+        xy, pdf0 = uniform_sample_ring(
+            u2, np.float32(light.inner_radius / light.radius)
+        )
+        pdf0 = pdf0 / (PI * radius * radius)  # parity: double-pi quirk
+    else:
+        xy = uniform_sample_disk(u2)
+        pdf0 = jnp.full(u2.shape[:-1], np.float32(1.0 / (np.pi * light.radius**2)))
+    xy = xy * radius
+
+    su = ((xy[..., 0] + 1.0) * 0.5) / radius
+    sv = ((xy[..., 1] + 1.0) * 0.5) / radius
+    st = jnp.stack([su, 1.0 - sv], axis=-1)
+
+    sample_world = _xform_point(
+        xf, jnp.stack([xy[..., 0], xy[..., 1], jnp.zeros_like(su)], -1)
+    )
+    n = _xform_dir(xf, jnp.asarray([0.0, 0.0, -1.0], jnp.float32))
+    wi = sample_world - p
+    dist = jnp.sqrt(jnp.sum(wi * wi, -1))
+    wi = wi / jnp.where(dist == 0.0, 1.0, dist)[..., None]
+
+    wi_dot_n = -(wi @ n)
+    visible = wi_dot_n > 0.0
+    pdf = jnp.where(visible, pdf0 * _safe_div(dist * dist, wi_dot_n), 0.0)
+    le = jnp.where(visible[..., None], _le_value(light, st), 0.0)
+    return le, wi, pdf, dist, st
+
+
+# ---------------------------------------------------------------------------
+# Environment light
+# ---------------------------------------------------------------------------
+
+
+def env2d_pdf(dist: Env2D, st):
+    """Piecewise2DDistribution::Pdf with TexturePattern::Pdf's clamps
+    (texturepattern.cpp:104-109, 158-166)."""
+    sx = jnp.minimum(st[..., 0], 0.9999)
+    sy = jnp.minimum(st[..., 1], 0.9999)
+    u = (sx * dist.width).astype(jnp.int32)
+    v = (sy * dist.height).astype(jnp.int32)
+    marg = jnp.asarray(dist.marg_pdf)[v]
+    cond = jnp.asarray(dist.cond_pdf)[v, u]
+    return marg * cond
+
+
+def env2d_sample(dist: Env2D, u2):
+    """Piecewise2DDistribution::Sample (texturepattern.cpp:72-102).
+
+    Returns (uv (N,2), pdf (N,)).  Black-row lanes return pdf 0 and uc 0
+    (the reference leaves pdf at the caller's initial 0 — same effect).
+    """
+    marg_cdf = jnp.asarray(dist.marg_cdf)
+    marg_pdf = jnp.asarray(dist.marg_pdf)
+    cond_cdf = jnp.asarray(dist.cond_cdf)
+    cond_pdf = jnp.asarray(dist.cond_pdf)
+    h, w = dist.height, dist.width
+    inv_h, inv_w = np.float32(1.0 / h), np.float32(1.0 / w)
+
+    sy = u2[..., 1]
+    lb = jnp.searchsorted(marg_cdf, sy, side="right").astype(jnp.int32) - 1
+    lb = jnp.clip(lb, 0, h)  # BinarySearch range [0, h]
+    vc = (
+        _safe_div(sy - marg_cdf[lb], marg_pdf[jnp.minimum(lb, h - 1)])
+        + lb.astype(jnp.float32) * inv_h
+    )
+    vc = jnp.minimum(vc, np.float32(0.9999999))
+    v = (vc * h).astype(jnp.int32)
+
+    row_ok = marg_pdf[v] > 0.0
+    sx = u2[..., 0]
+    row_cdf = cond_cdf[v]  # (N, w+1)
+    lb2 = jnp.clip(_rowwise_searchsorted(row_cdf, sx), 0, w)
+    uc = (
+        _safe_div(
+            sx - jnp.take_along_axis(row_cdf, lb2[..., None], -1)[..., 0],
+            cond_pdf[v, jnp.minimum(lb2, w - 1)],
+        )
+        + lb2.astype(jnp.float32) * inv_w
+    )
+    uc = jnp.minimum(uc, np.float32(0.9999999))
+    u = (uc * w).astype(jnp.int32)
+    pdf = jnp.where(row_ok, marg_pdf[v] * cond_pdf[v, u], 0.0)
+    uc = jnp.where(row_ok, uc, 0.0)
+    return jnp.stack([uc, vc], axis=-1), pdf
+
+
+def _rowwise_searchsorted(rows, vals):
+    """searchsorted(side=right)-1 per row: rows (N, K), vals (N,)."""
+    return (
+        jnp.sum(rows <= vals[..., None], axis=-1).astype(jnp.int32) - 1
+    )
+
+
+def _env_st(wi):
+    """Direction -> lat-long st with the reference's pi phi-offset
+    (environmentlight.cpp:11-21)."""
+    theta = jnp.arccos(jnp.clip(wi[..., 2], -1.0, 1.0))
+    phi = jnp.arctan2(wi[..., 1], wi[..., 0]) + PI
+    phi = jnp.where(phi > TWO_PI, phi - TWO_PI, phi)
+    phi = jnp.where(phi < 0.0, phi + TWO_PI, phi)
+    st = jnp.stack([1.0 - phi / TWO_PI, 1.0 - theta / PI], axis=-1)
+    return st, theta
+
+
+def _env_eval(light: LightData, p, wi):
+    st, theta = _env_st(wi)
+    if light.env2d is not None:
+        pdf = env2d_pdf(light.env2d, st)
+    else:
+        pdf = jnp.ones(wi.shape[:-1], jnp.float32)  # constant pattern Pdf()=1
+    sin_t = jnp.abs(jnp.sin(theta))
+    pdf = pdf * np.float32(0.25 / np.pi) * _safe_div(jnp.ones_like(sin_t), sin_t)
+    le = _le_value(light, st)
+    t = jnp.full(wi.shape[:-1], ENV_TMAX)
+    return LightEval(le=le, pdf=pdf, t=t)
+
+
+def _env_sample(light: LightData, p, u2):
+    """environmentlight.cpp:31-64."""
+    if light.env2d is not None:
+        uv, pdf = env2d_sample(light.env2d, u2)
+    else:
+        uv, pdf = u2, jnp.ones(u2.shape[:-1], jnp.float32)
+    theta = (1.0 - uv[..., 1]) * PI
+    phi = (1.0 - uv[..., 0]) * TWO_PI + PI
+    phi = jnp.where(phi > TWO_PI, phi - TWO_PI, phi)
+    phi = jnp.where(phi < 0.0, phi + TWO_PI, phi)
+    sin_t = jnp.sin(theta)
+    wi = jnp.stack(
+        [jnp.cos(phi) * sin_t, jnp.sin(phi) * sin_t, jnp.cos(theta)], axis=-1
+    )
+    # Le fetched at the *sampled* uv (TexturePattern::Sample,
+    # texturepattern.cpp:131-155): same clamps as GetValue on (u, 1-v)
+    st_fetch = jnp.stack([uv[..., 0], uv[..., 1]], axis=-1)
+    if light.le_tex is not None:
+        img = jnp.asarray(light.le_tex)
+        h, w, _ = light.le_tex.shape
+        uu = jnp.clip(uv[..., 0], 1e-4, 0.9999)
+        vv = jnp.clip(1.0 - uv[..., 1], 1e-4, 0.9999)
+        iu = (np.float32(w) * uu).astype(jnp.int32)
+        iv = (np.float32(h) * vv).astype(jnp.int32)
+        le = img[iv, iu] * np.float32(light.intensity)
+    else:
+        le = jnp.broadcast_to(
+            jnp.asarray(light.le_const) * np.float32(light.intensity),
+            u2.shape[:-1] + (3,),
+        )
+    sin_abs = jnp.abs(sin_t)
+    pdf = pdf * np.float32(0.25 / np.pi) * _safe_div(jnp.ones_like(sin_abs), sin_abs)
+    t = jnp.full(u2.shape[:-1], ENV_TMAX)
+    return le, wi, pdf, t, st_fetch
+
+
+# ---------------------------------------------------------------------------
+# Public dispatch (static per light)
+# ---------------------------------------------------------------------------
+
+
+def light_eval(light: LightData, p, wi) -> LightEval:
+    """Light::Li — radiance looking along wi from p, with pdf and distance."""
+    if light.kind == LIGHT_DISK:
+        return _disk_like_eval(light, p, wi, is_ring=False)
+    if light.kind == LIGHT_RING:
+        return _disk_like_eval(light, p, wi, is_ring=True)
+    if light.kind == LIGHT_ENV:
+        return _env_eval(light, p, wi)
+    raise ValueError(f"unknown light kind {light.kind}")
+
+
+def light_sample(light: LightData, p, u2):
+    """Light::Sample_Li — returns (le, wi, pdf, dist, st)."""
+    if light.kind == LIGHT_DISK:
+        return _disk_like_sample(light, p, u2, is_ring=False)
+    if light.kind == LIGHT_RING:
+        return _disk_like_sample(light, p, u2, is_ring=True)
+    if light.kind == LIGHT_ENV:
+        return _env_sample(light, p, u2)
+    raise ValueError(f"unknown light kind {light.kind}")
