@@ -16,13 +16,15 @@ implicit, no pointer chasing).
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from dataclasses import dataclass
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .geometry import Hit, edge_fn, intersect_chunk, ray_shear
+from .tree import pytree_dataclass
 
 INF = np.float32(np.inf)
 
@@ -47,7 +49,9 @@ def morton3(x, y, z):
     )
 
 
-class BVH(NamedTuple):
+@pytree_dataclass(meta_fields=("n_leaves", "leaf_size", "depth"))
+@dataclass
+class BVH:
     """Complete binary tree over Morton-ordered leaves (array layout).
 
     Node i's children are 2i+1 and 2i+2; leaves occupy the last `n_leaves`
@@ -55,10 +59,10 @@ class BVH(NamedTuple):
     *reordered* soup; `order` maps reordered -> original triangle ids.
     """
 
-    node_lo: jnp.ndarray  # (n_nodes, 3)
-    node_hi: jnp.ndarray  # (n_nodes, 3)
-    order: jnp.ndarray  # (T_padded,) int32 — original tri id, -1 = padding
-    tri_v: jnp.ndarray  # (T_padded, 3, 3) reordered vertices
+    node_lo: Any  # (n_nodes, 3)
+    node_hi: Any  # (n_nodes, 3)
+    order: Any  # (T_padded,) int32 — original tri id, -1 = padding
+    tri_v: Any  # (T_padded, 3, 3) reordered vertices
     n_leaves: int  # power of two
     leaf_size: int
     depth: int  # tree depth (root = 0)

@@ -1,0 +1,96 @@
+"""Film: Gaussian filter splatting as a differentiable scatter-add.
+
+Parity: RenderSession::AddSample + the precomputed filter table
+(src/core/render.cpp:23-70, 127-130) and Gaussian() (render.h:23-32).  The
+reference splats into per-bucket tiles and merges serially; splatting into
+one (totalH, totalW, 5) buffer is mathematically identical (the merge is a
+plain overlap-add) and maps to a single XLA scatter-add per wavefront.
+
+Channel layout: [r, g, b, a, filterWeightSum].
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+FILTER_TABLE_RES = 64
+
+
+def gaussian(width, x):
+    """render.h:23-32 (sigma = width/3, hard zero at x >= width)."""
+    sigma = width / 3.0
+    g = (1.0 / np.sqrt(2.0 * np.pi * sigma * sigma)) * np.exp(
+        -(x * x) / (2.0 * sigma * sigma)
+    )
+    return np.where(x >= width, 0.0, g).astype(np.float32)
+
+
+def filter_table():
+    """64-entry table: Gaussian(width=63, x=i)  (render.cpp:127-130)."""
+    i = np.arange(FILTER_TABLE_RES, dtype=np.float32)
+    return gaussian(np.float32(FILTER_TABLE_RES - 1), i)
+
+
+def splat(film, coords, l_alpha, filter_width, table):
+    """Scatter one wavefront of samples into the film.
+
+    Args:
+      film: (totalH, totalW, 5) accumulator.
+      coords: (N, 2) sample coords in total-image space (x, y).
+      l_alpha: (N, 4) RGBA radiance.
+      filter_width: static float.
+      table: (64,) filter table.
+    """
+    fw = np.float32(filter_width)
+    k = int(np.ceil(2.0 * filter_width)) + 1  # max taps per axis
+    sx, sy = coords[..., 0], coords[..., 1]
+    x0 = jnp.floor(sx - fw).astype(jnp.int32)
+    y0 = jnp.floor(sy - fw).astype(jnp.int32)
+    x1 = jnp.ceil(sx + fw).astype(jnp.int32)
+    y1 = jnp.ceil(sy + fw).astype(jnp.int32)
+
+    taps = jnp.arange(k, dtype=jnp.int32)
+    tx = x0[..., None] + taps[None, :]  # (N, K)
+    ty = y0[..., None] + taps[None, :]
+    mx = tx < x1[..., None]
+    my = ty < y1[..., None]
+
+    # (N, K, K) tap grid
+    gx = tx[:, None, :]  # x varies over last axis
+    gy = ty[:, :, None]
+    mask = (mx[:, None, :] & my[:, :, None]).astype(jnp.float32)
+
+    dist_x = gx.astype(jnp.float32) + 0.5 - sx[:, None, None]
+    dist_y = gy.astype(jnp.float32) + 0.5 - sy[:, None, None]
+    dist = jnp.sqrt(dist_x * dist_x + dist_y * dist_y)
+    idx = ((dist / fw) * FILTER_TABLE_RES).astype(jnp.int32) & 0xFF  # u8 cast
+    w = table[jnp.minimum(idx, FILTER_TABLE_RES - 1)] * mask  # (N, K, K)
+
+    h_tot, w_tot, _ = film.shape
+    gx_c = jnp.clip(gx, 0, w_tot - 1)
+    gy_c = jnp.clip(gy, 0, h_tot - 1)
+    in_img = (gx >= 0) & (gx < w_tot) & (gy >= 0) & (gy < h_tot)
+    w = w * in_img.astype(jnp.float32)
+
+    vals = jnp.concatenate(
+        [
+            l_alpha[:, None, None, :] * w[..., None],
+            w[..., None],
+        ],
+        axis=-1,
+    )  # (N, K, K, 5)
+    flat_idx = (gy_c * w_tot + gx_c).reshape(-1)
+    film_flat = film.reshape(-1, 5)
+    film_flat = film_flat.at[flat_idx].add(
+        vals.reshape(-1, 5), mode="drop"
+    )
+    return film_flat.reshape(h_tot, w_tot, 5)
+
+
+def finalize(film, image_width, image_height, filter_bounds):
+    """Normalise and crop: contribution / filterWeightSum over the image
+    window (render.cpp:208-228).  Returns (H, W, 4) RGBA."""
+    fb = filter_bounds
+    crop = film[fb : fb + image_height, fb : fb + image_width]
+    return crop[..., :4] / crop[..., 4:5]

@@ -1,0 +1,447 @@
+"""Wavefront path integrator with MIS, nested dielectrics, roughening, RR.
+
+Parity: src/integrators/pathintegrator.cpp — restructured from a per-ray
+recursive-style loop into a per-bounce SoA pipeline (SURVEY.md §7): every
+bounce runs [light pass -> BVH intersect -> material resolve -> MIS direct
+lighting (both strategies, one batched shadow traversal) -> scatter ->
+nested-dielectric list update -> Russian roulette] on the whole wavefront
+with masked lanes.
+
+RNG discipline: each pixel lane owns one Xorshift32 state; draws happen at
+the exact sites and in the exact order of the reference's scalar control
+flow, advanced only on lanes whose branch would draw (rng.masked_next_*).
+This keeps the sample-decision stream bit-identical to the reference
+(SURVEY.md §3.3 note), which the scalar-oracle tests rely on.
+
+Wavefront state lives in a Paths NamedTuple; the nested-dielectric
+"intersection list" (pathintegrator.cpp:7-36, 123-142) is a fixed-size
+per-lane table with insertion stamps (last/penultimate = max/2nd-max stamp,
+erase = clear the newest matching slot).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import bxdf, rng
+from ..accel import BVH, intersect_bvh
+from ..geometry import surface_at
+from ..lights import light_eval, light_sample
+from ..materials import make_bsdf
+
+SHADOW_BIAS = np.float32(0.001)  # pathintegrator.h:36
+INF = np.float32(np.inf)
+STACK_K = 8  # nested-dielectric stack slots per lane
+
+
+class IsectList(NamedTuple):
+    mesh: jnp.ndarray  # (N, K) int32, -1 = empty
+    priority: jnp.ndarray  # (N, K) int32
+    eta: jnp.ndarray  # (N, K) float32
+    stamp: jnp.ndarray  # (N, K) int32 insertion order, 0 = empty
+    next_stamp: jnp.ndarray  # (N,) int32
+
+
+def isect_list_init(n):
+    return IsectList(
+        mesh=jnp.full((n, STACK_K), -1, jnp.int32),
+        priority=jnp.zeros((n, STACK_K), jnp.int32),
+        eta=jnp.ones((n, STACK_K), jnp.float32),
+        stamp=jnp.zeros((n, STACK_K), jnp.int32),
+        next_stamp=jnp.ones((n,), jnp.int32),
+    )
+
+
+def isect_list_query(lst: IsectList, mesh_id, priority):
+    """IsectIsValid (pathintegrator.cpp:7-36): returns (valid, eta_outer)."""
+    occupied = lst.mesh >= 0
+    count = occupied.sum(axis=-1)
+    # newest and second-newest entries
+    stamp = jnp.where(occupied, lst.stamp, 0)
+    last = jnp.argmax(stamp, axis=-1)
+    rows = jnp.arange(stamp.shape[0])
+    stamp2 = stamp.at[rows, last].set(0)
+    penult = jnp.argmax(stamp2, axis=-1)
+
+    last_mesh = lst.mesh[rows, last]
+    last_eta = lst.eta[rows, last]
+    penult_eta = lst.eta[rows, penult]
+
+    eta_outer = jnp.where(
+        count == 0,
+        1.0,
+        jnp.where(
+            last_mesh != mesh_id,
+            last_eta,
+            jnp.where(count >= 2, penult_eta, 1.0),
+        ),
+    )
+    valid = ~jnp.any(occupied & (priority[:, None] < lst.priority), axis=-1)
+    return valid, eta_outer
+
+
+def isect_list_apply(lst: IsectList, mesh_id, priority, eta_sampled, do_update):
+    """UpdateIsectList (pathintegrator.cpp:123-142), masked by do_update.
+
+    Erase the newest slot matching mesh_id if present, else insert
+    (mesh_id, priority, eta_sampled) into the first free slot.
+    """
+    occupied = lst.mesh >= 0
+    match = occupied & (lst.mesh == mesh_id[:, None])
+    has_match = jnp.any(match, axis=-1)
+    rows = jnp.arange(lst.mesh.shape[0])
+
+    match_stamp = jnp.where(match, lst.stamp, -1)
+    erase_slot = jnp.argmax(match_stamp, axis=-1)
+    do_erase = do_update & has_match
+    mesh = lst.mesh.at[rows, erase_slot].set(
+        jnp.where(do_erase, -1, lst.mesh[rows, erase_slot])
+    )
+    stamp = lst.stamp.at[rows, erase_slot].set(
+        jnp.where(do_erase, 0, lst.stamp[rows, erase_slot])
+    )
+
+    free = mesh < 0
+    ins_slot = jnp.argmax(free, axis=-1)
+    do_insert = do_update & ~has_match & jnp.any(free, axis=-1)
+    mesh = mesh.at[rows, ins_slot].set(
+        jnp.where(do_insert, mesh_id, mesh[rows, ins_slot])
+    )
+    prio = lst.priority.at[rows, ins_slot].set(
+        jnp.where(do_insert, priority, lst.priority[rows, ins_slot])
+    )
+    eta = lst.eta.at[rows, ins_slot].set(
+        jnp.where(do_insert, eta_sampled, lst.eta[rows, ins_slot])
+    )
+    stamp = stamp.at[rows, ins_slot].set(
+        jnp.where(do_insert, lst.next_stamp, stamp[rows, ins_slot])
+    )
+    next_stamp = lst.next_stamp + do_insert.astype(jnp.int32)
+    return IsectList(
+        mesh=mesh, priority=prio, eta=eta, stamp=stamp, next_stamp=next_stamp
+    )
+
+
+class Paths(NamedTuple):
+    """Wavefront state threaded through the bounce loop."""
+
+    o: jnp.ndarray  # (N, 3) ray origin
+    d: jnp.ndarray  # (N, 3) ray direction
+    state: jnp.ndarray  # (N,) uint32 RNG
+    beta: jnp.ndarray  # (N, 3) throughput
+    l: jnp.ndarray  # (N, 3) radiance
+    alpha: jnp.ndarray  # (N,)
+    alive: jnp.ndarray  # (N,) bool
+    flags: jnp.ndarray  # (N,) int32 running BSDF flags (carried, parity)
+    eta_sampled: jnp.ndarray  # (N,)
+    alpha_tweak: jnp.ndarray  # (N,)
+    t_lim: jnp.ndarray  # (N,) carried isect.tMax
+    lst: IsectList
+
+
+def _flip_sign(z):
+    return jnp.where(z > 0.0, np.float32(1.0), np.float32(-1.0))
+
+
+def _nearest_light(lights, o, d, t_lim):
+    """The per-bounce light pass (pathintegrator.cpp:167-182).
+
+    Returns (le, t_light, light_hit) for the nearest light closer than t_lim.
+    """
+    n = o.shape[0]
+    le = jnp.zeros((n, 3))
+    t_best = t_lim
+    hit = jnp.zeros((n,), bool)
+    for li in lights:
+        ev = light_eval(li, o, d)
+        closer = ev.t < t_best
+        le = jnp.where(closer[:, None], ev.le, le)
+        t_best = jnp.where(closer, ev.t, t_best)
+        hit = hit | closer
+    return le, t_best, hit
+
+
+def _select_light_eval(lights, index, p, wi):
+    """Evaluate light[index] per lane (masked over the static light list)."""
+    n = p.shape[0]
+    le = jnp.zeros((n, 3))
+    pdf = jnp.zeros((n,))
+    t = jnp.full((n,), INF)
+    for j, li in enumerate(lights):
+        ev = light_eval(li, p, wi)
+        m = index == j
+        le = jnp.where(m[:, None], ev.le, le)
+        pdf = jnp.where(m, ev.pdf, pdf)
+        t = jnp.where(m, ev.t, t)
+    return le, pdf, t
+
+
+def _select_light_sample(lights, index, p, u2):
+    n = p.shape[0]
+    le = jnp.zeros((n, 3))
+    wi = jnp.zeros((n, 3))
+    pdf = jnp.zeros((n,))
+    t = jnp.full((n,), INF)
+    for j, li in enumerate(lights):
+        s_le, s_wi, s_pdf, s_t, _ = light_sample(li, p, u2)
+        m = index == j
+        le = jnp.where(m[:, None], s_le, le)
+        wi = jnp.where(m[:, None], s_wi, wi)
+        pdf = jnp.where(m, s_pdf, pdf)
+        t = jnp.where(m, s_t, t)
+    return le, wi, pdf, t
+
+
+def trace(scene, bvh: BVH, o, d, state, params):
+    """Trace one wavefront of camera rays to radiance.
+
+    Args:
+      scene: SceneData (leaves jnp-convertible).
+      bvh: built BVH over the scene triangle soup.
+      o, d: (N, 3) camera rays.
+      state: (N,) uint32 RNG states (already past the Latin-square draws).
+    Returns (L (N,3), alpha (N,), state).
+    """
+    n = o.shape[0]
+    n_lights = len(scene.lights)
+    gamma = np.float32(params.roughening_factor**2)
+    tri_v = jnp.asarray(scene.tri_v)
+    tri_n = jnp.asarray(scene.tri_n)
+    tri_uv = jnp.asarray(scene.tri_uv)
+    tri_mesh = jnp.asarray(scene.tri_mesh)
+    mesh_priority = jnp.asarray(scene.mesh_priority)
+
+    paths = Paths(
+        o=o,
+        d=d,
+        state=state,
+        beta=jnp.ones((n, 3)),
+        l=jnp.zeros((n, 3)),
+        alpha=jnp.zeros((n,)),
+        alive=jnp.ones((n,), bool),
+        flags=jnp.zeros((n,), jnp.int32),
+        eta_sampled=jnp.ones((n,)),
+        alpha_tweak=jnp.ones((n,)),
+        t_lim=jnp.full((n,), INF),
+        lst=isect_list_init(n),
+    )
+
+    def bounce_body(bounce, paths):
+        p = paths
+        # ---- light pass -------------------------------------------------
+        le_cam, t_after_lights, light_hit = _nearest_light(
+            scene.lights, p.o, p.d, p.t_lim
+        )
+        light_hit = light_hit & p.alive
+        alpha = jnp.where(light_hit, 1.0, p.alpha)
+
+        # ---- scene intersect -------------------------------------------
+        hit = intersect_bvh(p.o, p.d, jnp.zeros((n,)), t_after_lights, bvh)
+        hit_valid = hit.valid & p.alive
+        surf = surface_at(hit, tri_v, tri_n, tri_uv, tri_mesh)
+
+        # miss handling (pathintegrator.cpp:252-257):
+        #   bounce 0 + lightHit: L = Le; any miss: lane dead
+        miss = p.alive & ~hit.valid
+        l_out = jnp.where(
+            (miss & (bounce == 0) & light_hit)[:, None], le_cam, p.l
+        )
+        alive = p.alive & hit.valid
+
+        # ---- material resolve ------------------------------------------
+        frame, desc = make_bsdf(
+            scene, surf.mesh, surf.st, surf.sn, surf.dpds, p.alpha_tweak
+        )
+        prio = mesh_priority[surf.mesh]
+        valid, eta_outer = isect_list_query(p.lst, surf.mesh, prio)
+        m_valid = alive & valid
+        m_invalid = alive & ~valid
+        alpha = jnp.where(m_valid & (bounce == 0), 1.0, alpha)
+
+        wo = bxdf.to_local(frame, -p.d)
+
+        # ================= EstimateDirect (pathintegrator.cpp:38-121) ====
+        # draw site 1: light pick
+        u_pick, st8 = rng.masked_next_float(p.state, m_valid)
+        light_idx = (
+            jnp.minimum(u_pick, np.float32(1.0) - np.float32(1.1920929e-07))
+            * np.float32(n_lights)
+        ).astype(jnp.int32)
+        # draw sites 2-4: strategy A scatter sample + lobe pick
+        ua_x, st8 = rng.masked_next_float(st8, m_valid)
+        ua_y, st8 = rng.masked_next_float(st8, m_valid)
+        ua_l, st8 = rng.masked_next_float(st8, m_valid)
+        dir_flags0 = jnp.zeros((n,), jnp.int32)
+        fA, wiA, pdfA, dflags, _, _ = bxdf.bsdf_sample_f(
+            desc,
+            wo,
+            ua_l,
+            jnp.stack([ua_x, ua_y], -1),
+            jnp.ones((n,), bool),
+            eta_outer,
+            dir_flags0,
+        )
+        wiA_world = bxdf.to_world(frame, wiA)
+        liA, light_pdf_A, tA = _select_light_eval(
+            scene.lights, light_idx, surf.p, wiA_world
+        )
+        # draw sites 5-6: strategy B light sample
+        ub_x, st8 = rng.masked_next_float(st8, m_valid)
+        ub_y, st8 = rng.masked_next_float(st8, m_valid)
+        liB, wiB_world, light_pdf_B, tB = _select_light_sample(
+            scene.lights, light_idx, surf.p, jnp.stack([ub_x, ub_y], -1)
+        )
+        wiB = bxdf.to_local(frame, wiB_world)
+
+        # one batched shadow traversal for both strategies
+        oA = surf.p + surf.gn * (SHADOW_BIAS * _flip_sign(wiA[..., 2]))[:, None]
+        oB = surf.p + surf.gn * (SHADOW_BIAS * _flip_sign(wiB[..., 2]))[:, None]
+        sh_o = jnp.concatenate([oA, oB], axis=0)
+        sh_d = jnp.concatenate([wiA_world, wiB_world], axis=0)
+        sh_t = jnp.concatenate([tA, tB], axis=0)
+        sh_hit = intersect_bvh(
+            sh_o, sh_d, jnp.zeros((2 * n,)), sh_t, bvh
+        )
+        occA = sh_hit.valid[:n]
+        occB = sh_hit.valid[n:]
+
+        # strategy A contribution (BSDF sampling)
+        wA_spec = (dflags & bxdf.SPECULAR) != 0
+        misA = (pdfA * pdfA) / jnp.maximum(
+            pdfA * pdfA + light_pdf_A * light_pdf_A, 1e-30
+        )
+        weightA = jnp.where(wA_spec, 1.0, misA)
+        addA = (
+            m_valid
+            & (pdfA > 0.0)
+            & ~occA
+            & (wA_spec | (light_pdf_A > 0.0))
+        )
+        contribA = (
+            fA
+            * liA
+            * (jnp.abs(wiA[..., 2]) * weightA / jnp.where(pdfA > 0, pdfA, 1.0))[
+                :, None
+            ]
+        )
+        l_direct = jnp.where(addA[:, None], contribA, 0.0)
+
+        # strategy B contribution (light sampling)
+        pdfB = bxdf.bsdf_pdf(desc, wo, wiB, jnp.ones((n,), bool), eta_outer)
+        fB = bxdf.bsdf_f(desc, wo, wiB, jnp.ones((n,), bool), eta_outer)
+        misB = (light_pdf_B * light_pdf_B) / jnp.maximum(
+            pdfB * pdfB + light_pdf_B * light_pdf_B, 1e-30
+        )
+        addB = m_valid & ~occB & (light_pdf_B > 0.0) & (pdfB > 0.0)
+        contribB = (
+            fB
+            * liB
+            * (
+                jnp.abs(wiB[..., 2])
+                * misB
+                / jnp.where(light_pdf_B > 0, light_pdf_B, 1.0)
+            )[:, None]
+        )
+        l_direct = l_direct + jnp.where(addB[:, None], contribB, 0.0)
+        l_out = l_out + jnp.where(
+            m_valid[:, None], l_direct * np.float32(n_lights) * p.beta, 0.0
+        )
+
+        # ================= scatter (pathintegrator.cpp:199-220) ==========
+        us_x, st8 = rng.masked_next_float(st8, m_valid)
+        us_y, st8 = rng.masked_next_float(st8, m_valid)
+        us_l, st8 = rng.masked_next_float(st8, m_valid)
+        fS, wiS, pdfS, new_flags, alpha_i, eta_smp = bxdf.bsdf_sample_f(
+            desc,
+            wo,
+            us_l,
+            jnp.stack([us_x, us_y], -1),
+            jnp.zeros((n,), bool),
+            eta_outer,
+            p.flags,
+        )
+        pdf_ok = pdfS > 0.0
+        alpha_tweak = jnp.where(
+            m_valid & pdf_ok,
+            (1.0 - gamma * alpha_i) * p.alpha_tweak,
+            p.alpha_tweak,
+        )
+        beta = jnp.where(
+            (m_valid & pdf_ok)[:, None],
+            p.beta
+            * fS
+            * (jnp.abs(wiS[..., 2]) / jnp.where(pdf_ok, pdfS, 1.0))[:, None],
+            p.beta,
+        )
+        wiS_world = bxdf.to_world(frame, wiS)
+        new_o = jnp.where(
+            (m_valid & pdf_ok)[:, None],
+            surf.p
+            + surf.gn * (SHADOW_BIAS * _flip_sign(wiS[..., 2]))[:, None],
+            p.o,
+        )
+        new_d = jnp.where((m_valid & pdf_ok)[:, None], wiS_world, p.d)
+        flags = jnp.where(m_valid, new_flags, p.flags)
+        eta_sampled = jnp.where(m_valid, eta_smp, p.eta_sampled)
+
+        # invalid (priority-skipped) branch (pathintegrator.cpp:223-229)
+        u_eta, st8 = rng.masked_next_float(st8, m_invalid)
+        eta_inv = bxdf.bsdf_sample_eta(desc, u_eta)
+        new_o = jnp.where(
+            m_invalid[:, None], surf.p + p.d * SHADOW_BIAS, new_o
+        )
+        new_d = jnp.where(m_invalid[:, None], p.d, new_d)
+        flags = jnp.where(m_invalid, bxdf.TRANSMISSIVE, flags)
+        eta_sampled = jnp.where(m_invalid, eta_inv, eta_sampled)
+
+        # lanes breaking on pdf<=0 exit before the list update and RR
+        # (pathintegrator.cpp:214)
+        no_break = jnp.where(m_valid, pdf_ok, True)
+
+        # transmissive: update the nested-dielectric list
+        do_update = alive & no_break & ((flags & bxdf.TRANSMISSIVE) != 0)
+        lst = isect_list_apply(p.lst, surf.mesh, prio, eta_sampled, do_update)
+
+        # Russian roulette (pathintegrator.cpp:237-246): only lanes that hit
+        # and did not break on pdf<=0 reach it, and only for bounce > 3
+        survived_scatter = no_break
+        rr_mask = alive & survived_scatter & (bounce > 3)
+        u_rr, st8 = rng.masked_next_float(st8, rr_mask)
+        q = jnp.maximum(jnp.sum(beta, -1) * np.float32(0.33333), 0.0)
+        rr_live = q >= u_rr
+        beta = jnp.where(
+            (rr_mask & rr_live)[:, None],
+            beta / jnp.where(q > 0, q, 1.0)[:, None],
+            beta,
+        )
+        alive = alive & survived_scatter & ~(rr_mask & ~rr_live)
+
+        return Paths(
+            o=new_o,
+            d=new_d,
+            state=st8,
+            beta=beta,
+            l=l_out,
+            alpha=alpha,
+            alive=alive,
+            flags=flags,
+            eta_sampled=eta_sampled,
+            alpha_tweak=alpha_tweak,
+            t_lim=jnp.where(alive, INF, p.t_lim),  # isect reset on live lanes
+            lst=lst,
+        )
+
+    def cond(carry):
+        bounce, paths = carry
+        return (bounce < params.bounces) & jnp.any(paths.alive)
+
+    def body(carry):
+        bounce, paths = carry
+        return bounce + 1, bounce_body(bounce, paths)
+
+    _, paths = jax.lax.while_loop(cond, body, (jnp.int32(0), paths))
+    return paths.l, paths.alpha, paths.state

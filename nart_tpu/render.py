@@ -1,0 +1,207 @@
+"""Render sessions: parameter resolution, the jitted spp loop, EXR output.
+
+Parity: src/core/render.cpp (RenderSession, LoadSessions,
+ParseRenderParamArguments) and main.cpp.  The reference's bucket/TBB
+decomposition maps to: one wavefront lane per pixel, spp iterated inside one
+jit-compiled `lax.fori_loop`, Gaussian splats scatter-added into a single
+film buffer (film.py — mathematically identical to the tile merge).
+
+Parameter precedence (render.cpp:327-414): CLI overrides > per-session JSON
+> defaults (64x64, bucket 16, spp 1, bounces 10, filterWidth 1,
+rougheningFactor 0 clamped to [0,1]).
+
+The reference renders whole buckets clamped to totalWidth, so when the image
+size is not bucket-divisible, pixels in [W, min(ceil(W/bs)*bs, W+2*fb))
+are rendered and splat into the film (render.cpp:162-173) — reproduced via
+render_w/render_h.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import camera, exr, film, rng, sampling
+from .accel import build_bvh
+from .integrators import path as path_integrator
+from .scene import SceneData, load_scene
+
+
+@dataclass(frozen=True)
+class RenderParams:
+    integrator: str = "path"  # "path" | "volume"
+    image_width: int = 64
+    image_height: int = 64
+    bucket_size: int = 16
+    spp: int = 1
+    bounces: int = 10
+    filter_width: float = 1.0
+    roughening_factor: float = 0.0
+
+
+_DEFAULTS = RenderParams()
+
+
+def resolve_params(session_json: dict, overrides: dict) -> RenderParams:
+    """CLI > JSON > defaults, with rougheningFactor clamped to [0,1]."""
+    keys = {
+        "integrator": "integrator",
+        "imageWidth": "image_width",
+        "imageHeight": "image_height",
+        "bucketSize": "bucket_size",
+        "spp": "spp",
+        "bounces": "bounces",
+        "filterWidth": "filter_width",
+        "rougheningFactor": "roughening_factor",
+    }
+    vals = {}
+    for jkey, field_name in keys.items():
+        if field_name in overrides and overrides[field_name] is not None:
+            vals[field_name] = overrides[field_name]
+        elif jkey in session_json and session_json[jkey] is not None:
+            vals[field_name] = session_json[jkey]
+        else:
+            vals[field_name] = getattr(_DEFAULTS, field_name)
+    vals["roughening_factor"] = min(max(float(vals["roughening_factor"]), 0.0), 1.0)
+    for k in ("image_width", "image_height", "bucket_size", "spp", "bounces"):
+        vals[k] = int(vals[k])
+    vals["filter_width"] = float(vals["filter_width"])
+    return RenderParams(**vals)
+
+
+def load_sessions(scene_path: str, overrides: Optional[dict] = None):
+    """LoadSessions parity: one RenderParams per renderSessions entry."""
+    import json
+
+    with open(scene_path) as f:
+        doc = json.load(f)
+    overrides = overrides or {}
+    return [
+        resolve_params(s, overrides) for s in doc.get("renderSessions", [])
+    ]
+
+
+class RenderSession:
+    """One render: scene + params -> film -> EXR."""
+
+    def __init__(self, scene: SceneData, params: RenderParams, leaf_size=8):
+        self.scene = scene
+        self.params = params
+        self.filter_bounds = int(np.ceil(params.filter_width))
+        self.total_w = params.image_width + 2 * self.filter_bounds
+        self.total_h = params.image_height + 2 * self.filter_bounds
+        nbx = -(-params.image_width // params.bucket_size)
+        nby = -(-params.image_height // params.bucket_size)
+        self.render_w = min(nbx * params.bucket_size, self.total_w)
+        self.render_h = min(nby * params.bucket_size, self.total_h)
+        self.bvh = build_bvh(np.asarray(scene.tri_v), leaf_size=leaf_size)
+
+    def render(self) -> np.ndarray:
+        """Returns the raw film buffer (totalH, totalW, 5)."""
+        out = _render_jit(
+            self.scene,
+            self.bvh,
+            self.params,
+            self.render_w,
+            self.render_h,
+            self.total_w,
+            self.total_h,
+            self.filter_bounds,
+        )
+        return np.asarray(out)
+
+    def image(self) -> np.ndarray:
+        """Final normalised RGBA image (H, W, 4)."""
+        f = self.render()
+        return np.asarray(
+            film.finalize(
+                jnp.asarray(f),
+                self.params.image_width,
+                self.params.image_height,
+                self.filter_bounds,
+            )
+        )
+
+    def write_exr(self, out_path: str):
+        img = self.image()
+        if not out_path.endswith(".exr"):
+            out_path = out_path + ".exr"
+        exr.write(out_path, img)
+        return out_path
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "params",
+        "render_w",
+        "render_h",
+        "total_w",
+        "total_h",
+        "filter_bounds",
+    ),
+)
+def _render_jit(
+    scene, bvh, params, render_w, render_h, total_w, total_h, filter_bounds
+):
+    n = render_w * render_h
+    idx = jnp.arange(n, dtype=jnp.int32)
+    px = idx % render_w
+    py = idx // render_w
+
+    # per-pixel streams, seeded y*totalWidth+x (render.cpp:81-82)
+    state = rng.seed(py * total_w + px)
+    samples, state = sampling.latin_square(state, params.spp)  # (N, spp, 2)
+
+    table = jnp.asarray(film.filter_table())
+    buf = jnp.zeros((total_h, total_w, 5), jnp.float32)
+
+    if params.integrator == "volume":
+        from .integrators import volume as volume_integrator
+
+        tracer = functools.partial(
+            volume_integrator.trace, scene, bvh
+        )
+    else:
+        tracer = functools.partial(path_integrator.trace, scene, bvh)
+
+    def spp_body(i, carry):
+        buf, state = carry
+        s = samples[:, i]
+        o, d = camera.cast_rays(
+            scene.cam_to_world,
+            scene.fov,
+            params.image_width,
+            params.image_height,
+            px,
+            py,
+            s,
+        )
+        l, a, state = tracer(o, d, state, params)
+        coords = jnp.stack(
+            [
+                (px + filter_bounds).astype(jnp.float32) + s[..., 0],
+                (py + filter_bounds).astype(jnp.float32) + s[..., 1],
+            ],
+            axis=-1,
+        )
+        l_alpha = jnp.concatenate([l, a[:, None]], axis=-1)
+        buf = film.splat(buf, coords, l_alpha, params.filter_width, table)
+        return buf, state
+
+    buf, state = jax.lax.fori_loop(0, params.spp, spp_body, (buf, state))
+    return buf
+
+
+def render_scene_file(scene_path: str, overrides: Optional[dict] = None):
+    """Load scene + sessions and render them all.  Yields (params, session)."""
+    scn = load_scene(scene_path)
+    for params in load_sessions(scene_path, overrides):
+        yield params, RenderSession(scn, params)

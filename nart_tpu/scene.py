@@ -34,6 +34,7 @@ from typing import Any, Optional
 
 import numpy as np
 
+from .tree import pytree_dataclass
 from . import geo as geo_mod
 from . import exr as exr_mod
 from . import vol as vol_mod
@@ -54,6 +55,7 @@ _MAT_CODES = {
 LIGHT_DISK, LIGHT_RING, LIGHT_ENV = 0, 1, 2
 
 
+@pytree_dataclass(meta_fields=("width", "height"))
 @dataclass
 class Env2D:
     """Piecewise-constant 2D distribution for env-map importance sampling.
@@ -79,6 +81,9 @@ class TexRef:
     tex_id: int  # index into packed textures, -1 if constant
 
 
+@pytree_dataclass(
+    meta_fields=("kind", "radius", "inner_radius", "intensity")
+)
 @dataclass
 class LightData:
     kind: int  # LIGHT_DISK / LIGHT_RING / LIGHT_ENV
@@ -91,6 +96,7 @@ class LightData:
     env2d: Optional[Env2D]  # importance distribution (texture Le only)
 
 
+@pytree_dataclass(meta_fields=("sigma_a", "sigma_s", "sigma_maj"))
 @dataclass
 class MediumData:
     bounds_min: Any  # (3,)
@@ -102,6 +108,7 @@ class MediumData:
     sigma_maj: float  # global majorant: max density * (sigma_a + sigma_s)
 
 
+@pytree_dataclass(meta_fields=("fov", "n_meshes", "n_tris"))
 @dataclass
 class SceneData:
     """Frozen scene: all leaves are arrays (converted lazily by jnp)."""
