@@ -299,7 +299,9 @@ def ts_sample(desc, wo, u2, use_prime, eta_outer):
         SPECULAR,
     ).astype(jnp.int32)
     wh = _vndf_sample(wo, alpha, u2, flip_lower=False)
-    wi = _normalize(reflect(wo, wh))
+    # detached-sampling estimator (path replay): the sampled direction is a
+    # fixed decision; gradients flow through f/pdf evaluated at it
+    wi = jax.lax.stop_gradient(_normalize(reflect(wo, wh)))
     pdf = ts_pdf(desc, wo, wi, use_prime, eta_outer)
     return ts_f(desc, wo, wi, use_prime, eta_outer), wi, pdf, flags, alpha
 
@@ -411,7 +413,7 @@ def dielectric_sample(desc, wo, u1, u2, use_prime, eta_outer, prev_flags):
         SPECULAR,
     ).astype(jnp.int32)
 
-    wh = _vndf_sample(wo, alpha, u2, flip_lower=True)
+    wh = jax.lax.stop_gradient(_vndf_sample(wo, alpha, u2, flip_lower=True))
     fr = fresnel(eta_o, eta_i, jnp.abs(jnp.sum(wh * wo, -1)))
 
     cos_o = jnp.clip(jnp.sum(wo * wh, -1), -1.0, 1.0)
@@ -424,7 +426,9 @@ def dielectric_sample(desc, wo, u1, u2, use_prime, eta_outer, prev_flags):
     wi_refr = _refract(wo, wh, _safe_div(eta_o, eta_i), cos_o, jnp.minimum(sin_i, 1.0))
 
     do_reflect = reflect_choice | tir
-    wi = jnp.where(do_reflect[..., None], wi_refl, wi_refr)
+    wi = jax.lax.stop_gradient(
+        jnp.where(do_reflect[..., None], wi_refl, wi_refr)
+    )
     pdf_scale = jnp.where(reflect_choice, fr, 1.0 - fr)
     pdf = dielectric_pdf(desc, wo, wi, use_prime, eta_outer) * pdf_scale
     f = dielectric_f(desc, wo, wi, use_prime, eta_outer)

@@ -1,0 +1,112 @@
+"""Differentiable rendering: gradients w.r.t. scene/material/light params.
+
+Role parity: the reference has no differentiable pass; BASELINE.json's north
+star requires "path-replay backprop producing pixel gradients w.r.t. material
+roughness/albedo, textures and light radiance".  Implementation (JAX-native
+equivalent of path replay):
+
+  * every sampling *decision* (directions, lobe/light choices, RR) is
+    detached (stop_gradient) — the standard detached-sampling estimator:
+    grad E[f/p] = E[grad f / p] with p and the sample fixed;
+  * the bounce loop runs with a static trip count and `jax.checkpoint` on
+    the bounce body, so the backward pass *replays* each bounce (recomputes
+    it from the carried wavefront state) instead of storing intermediates —
+    memory O(wavefront), one extra forward of compute, exactly the
+    replay/recompute trade of path-replay backprop;
+  * geometry (BVH traversal, hit positions) carries no tangents, so the
+    `while_loop` traversal stays untouched by AD.
+
+Trainable parameters: a dict pytree extracted from SceneData.  Gradients are
+exact for the detached estimator and validated against finite differences in
+tests/test_grad.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import camera, film, rng, sampling
+from .accel import build_bvh
+from .integrators import path as path_integrator
+from .scene import SceneData
+
+TRAINABLE_FIELDS = (
+    "rho_d_const",
+    "rho_s_const",
+    "tau_const",
+    "alpha_const",
+    "eta_const",
+    "tex_data",
+)
+
+
+def get_params(scene: SceneData):
+    """Extract the trainable parameter pytree from a scene."""
+    theta = {f: jnp.asarray(getattr(scene, f)) for f in TRAINABLE_FIELDS}
+    theta["light_le"] = [jnp.asarray(li.le_const) for li in scene.lights]
+    return theta
+
+
+def put_params(scene: SceneData, theta):
+    """Rebuild a scene with parameters replaced by theta."""
+    kw = {f.name: getattr(scene, f.name) for f in dataclasses.fields(scene)}
+    for f in TRAINABLE_FIELDS:
+        kw[f] = theta[f]
+    kw["lights"] = [
+        dataclasses.replace(li, le_const=le)
+        for li, le in zip(scene.lights, theta["light_le"])
+    ]
+    return SceneData(**kw)
+
+
+def render_lanes(scene, bvh, params, width, height, spp, seed_base=0):
+    """Differentiable per-pixel radiance (no film filter): (N, 3).
+
+    Averages spp samples per pixel with the same RNG stream discipline as
+    the forward renderer.
+    """
+    n = width * height
+    idx = jnp.arange(n, dtype=jnp.int32)
+    px = idx % width
+    py = idx // width
+    state = rng.seed(py * width + px + seed_base)
+    samples, state = sampling.latin_square(state, spp)
+
+    def spp_body(i, carry):
+        acc, state = carry
+        s = samples[:, i]
+        o, d = camera.cast_rays(
+            scene.cam_to_world, scene.fov, width, height, px, py, s
+        )
+        l, a, state = path_integrator.trace(
+            scene, bvh, o, d, state, params, differentiable=True
+        )
+        return acc + l, state
+
+    acc, _ = jax.lax.fori_loop(
+        0, spp, spp_body, (jnp.zeros((n, 3)), state)
+    )
+    return acc / np.float32(spp)
+
+
+def loss_and_grad(scene, params, width, height, spp, loss_fn, leaf_size=8):
+    """Value+grad of loss_fn(image (H,W,3)) w.r.t. the trainable params.
+
+    Returns (loss, grads_dict).
+    """
+    bvh = build_bvh(np.asarray(scene.tri_v), leaf_size=leaf_size)
+    scene = jax.tree_util.tree_map(jnp.asarray, scene)
+    theta0 = get_params(scene)
+
+    @jax.jit
+    def f(theta):
+        scn = put_params(scene, theta)
+        lanes = render_lanes(scn, bvh, params, width, height, spp)
+        return loss_fn(lanes.reshape(height, width, 3))
+
+    return jax.value_and_grad(f)(theta0)

@@ -196,7 +196,7 @@ def _select_light_sample(lights, index, p, u2):
     return le, wi, pdf, t
 
 
-def trace(scene, bvh: BVH, o, d, state, params):
+def trace(scene, bvh: BVH, o, d, state, params, differentiable=False):
     """Trace one wavefront of camera rays to radiance.
 
     Args:
@@ -204,6 +204,10 @@ def trace(scene, bvh: BVH, o, d, state, params):
       bvh: built BVH over the scene triangle soup.
       o, d: (N, 3) camera rays.
       state: (N,) uint32 RNG states (already past the Latin-square draws).
+      differentiable: use a static-trip-count rematerialised bounce loop so
+        reverse-mode AD works (path-replay backprop: every sampling decision
+        is detached; the backward pass recomputes each bounce instead of
+        storing it — jax.checkpoint on the bounce body).
     Returns (L (N,3), alpha (N,), state).
     """
     n = o.shape[0]
@@ -285,17 +289,22 @@ def trace(scene, bvh: BVH, o, d, state, params):
             eta_outer,
             dir_flags0,
         )
-        wiA_world = bxdf.to_world(frame, wiA)
+        wiA = jax.lax.stop_gradient(wiA)
+        pdfA = jax.lax.stop_gradient(pdfA)
+        wiA_world = jax.lax.stop_gradient(bxdf.to_world(frame, wiA))
         liA, light_pdf_A, tA = _select_light_eval(
             scene.lights, light_idx, surf.p, wiA_world
         )
+        light_pdf_A = jax.lax.stop_gradient(light_pdf_A)
         # draw sites 5-6: strategy B light sample
         ub_x, st8 = rng.masked_next_float(st8, m_valid)
         ub_y, st8 = rng.masked_next_float(st8, m_valid)
         liB, wiB_world, light_pdf_B, tB = _select_light_sample(
             scene.lights, light_idx, surf.p, jnp.stack([ub_x, ub_y], -1)
         )
-        wiB = bxdf.to_local(frame, wiB_world)
+        wiB_world = jax.lax.stop_gradient(wiB_world)
+        light_pdf_B = jax.lax.stop_gradient(light_pdf_B)
+        wiB = jax.lax.stop_gradient(bxdf.to_local(frame, wiB_world))
 
         # one batched shadow traversal for both strategies
         oA = surf.p + surf.gn * (SHADOW_BIAS * _flip_sign(wiA[..., 2]))[:, None]
@@ -331,7 +340,9 @@ def trace(scene, bvh: BVH, o, d, state, params):
         l_direct = jnp.where(addA[:, None], contribA, 0.0)
 
         # strategy B contribution (light sampling)
-        pdfB = bxdf.bsdf_pdf(desc, wo, wiB, jnp.ones((n,), bool), eta_outer)
+        pdfB = jax.lax.stop_gradient(
+            bxdf.bsdf_pdf(desc, wo, wiB, jnp.ones((n,), bool), eta_outer)
+        )
         fB = bxdf.bsdf_f(desc, wo, wiB, jnp.ones((n,), bool), eta_outer)
         misB = (light_pdf_B * light_pdf_B) / jnp.maximum(
             pdfB * pdfB + light_pdf_B * light_pdf_B, 1e-30
@@ -364,6 +375,8 @@ def trace(scene, bvh: BVH, o, d, state, params):
             eta_outer,
             p.flags,
         )
+        wiS = jax.lax.stop_gradient(wiS)
+        pdfS_det = jax.lax.stop_gradient(pdfS)
         pdf_ok = pdfS > 0.0
         alpha_tweak = jnp.where(
             m_valid & pdf_ok,
@@ -374,10 +387,10 @@ def trace(scene, bvh: BVH, o, d, state, params):
             (m_valid & pdf_ok)[:, None],
             p.beta
             * fS
-            * (jnp.abs(wiS[..., 2]) / jnp.where(pdf_ok, pdfS, 1.0))[:, None],
+            * (jnp.abs(wiS[..., 2]) / jnp.where(pdf_ok, pdfS_det, 1.0))[:, None],
             p.beta,
         )
-        wiS_world = bxdf.to_world(frame, wiS)
+        wiS_world = jax.lax.stop_gradient(bxdf.to_world(frame, wiS))
         new_o = jnp.where(
             (m_valid & pdf_ok)[:, None],
             surf.p
@@ -413,9 +426,10 @@ def trace(scene, bvh: BVH, o, d, state, params):
         u_rr, st8 = rng.masked_next_float(st8, rr_mask)
         q = jnp.maximum(jnp.sum(beta, -1) * np.float32(0.33333), 0.0)
         rr_live = q >= u_rr
+        q_det = jax.lax.stop_gradient(q)  # RR is a sampling decision
         beta = jnp.where(
             (rr_mask & rr_live)[:, None],
-            beta / jnp.where(q > 0, q, 1.0)[:, None],
+            beta / jnp.where(q_det > 0, q_det, 1.0)[:, None],
             beta,
         )
         alive = alive & survived_scatter & ~(rr_mask & ~rr_live)
@@ -435,13 +449,20 @@ def trace(scene, bvh: BVH, o, d, state, params):
             lst=lst,
         )
 
-    def cond(carry):
-        bounce, paths = carry
-        return (bounce < params.bounces) & jnp.any(paths.alive)
+    if differentiable:
+        body_ckpt = jax.checkpoint(bounce_body)
+        paths = jax.lax.fori_loop(
+            0, params.bounces, lambda b, p: body_ckpt(jnp.int32(b), p), paths
+        )
+    else:
 
-    def body(carry):
-        bounce, paths = carry
-        return bounce + 1, bounce_body(bounce, paths)
+        def cond(carry):
+            bounce, paths = carry
+            return (bounce < params.bounces) & jnp.any(paths.alive)
 
-    _, paths = jax.lax.while_loop(cond, body, (jnp.int32(0), paths))
+        def body(carry):
+            bounce, paths = carry
+            return bounce + 1, bounce_body(bounce, paths)
+
+        _, paths = jax.lax.while_loop(cond, body, (jnp.int32(0), paths))
     return paths.l, paths.alpha, paths.state

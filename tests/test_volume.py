@@ -1,0 +1,85 @@
+"""Volume integrator tests: analytic transmittance + conservative furnace."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from nart_tpu import render as render_mod
+from nart_tpu.integrators import volume as vol_int
+from nart_tpu.scene import LIGHT_ENV, LightData, MediumData
+from nart_tpu import rng
+from tests import scenes
+
+
+def _medium(sigma_a, sigma_s, le=(0, 0, 0), density=None):
+    dens = density if density is not None else np.ones((4, 4, 4), np.float32)
+    return MediumData(
+        bounds_min=np.float32([-1, -1, -1]),
+        bounds_max=np.float32([1, 1, 1]),
+        sigma_a=sigma_a,
+        sigma_s=sigma_s,
+        le=np.asarray(le, np.float32),
+        density=dens,
+        sigma_maj=float(dens.max()) * (sigma_a + sigma_s),
+    )
+
+
+def _env_scene(sigma_a, sigma_s, med_le=(0, 0, 0), env=1.0):
+    scn = scenes.simple_scene(("lambert",))
+    light = LightData(
+        kind=LIGHT_ENV, xf=np.eye(4, dtype=np.float32), radius=0.0,
+        inner_radius=0.0, intensity=env,
+        le_const=np.ones(3, np.float32), le_tex=None, env2d=None,
+    )
+    return scn.__class__(
+        **{
+            **{f: getattr(scn, f) for f in scn.__dataclass_fields__},
+            "lights": [light],
+            "medium": _medium(sigma_a, sigma_s, med_le),
+        }
+    )
+
+
+def _trace(scn, n=4096, bounces=64, seed0=0):
+    o = jnp.tile(jnp.asarray([[0.0, 0.0, 3.0]]), (n, 1))
+    d = jnp.tile(jnp.asarray([[0.0, 0.0, -1.0]]), (n, 1))
+    state = rng.seed(jnp.arange(seed0, seed0 + n, dtype=jnp.uint32))
+    params = render_mod.RenderParams(bounces=bounces, integrator="volume")
+    l, a, _ = vol_int.trace(scn, None, o, d, state, params)
+    return np.asarray(l), np.asarray(a)
+
+
+def test_pure_absorption_transmittance():
+    # homogeneous absorber: E[L] = exp(-sigma_a * path_len) * env
+    l, a = _trace(_env_scene(sigma_a=0.5, sigma_s=0.0))
+    want = np.exp(-0.5 * 2.0)
+    got = l[:, 0].mean()
+    assert abs(got - want) / want < 0.05, (got, want)
+    assert (a == 1.0).all()
+
+
+def test_emission_plus_transmittance():
+    # absorber with emission Le: L = T*env + (1-T)*Le for uniform medium
+    l, _ = _trace(_env_scene(sigma_a=0.8, sigma_s=0.0, med_le=(2.0, 2.0, 2.0)))
+    t = np.exp(-0.8 * 2.0)
+    want = t * 1.0 + (1 - t) * 2.0
+    got = l[:, 0].mean()
+    assert abs(got - want) / want < 0.05, (got, want)
+
+
+def test_conservative_scattering_furnace():
+    # pure scatterer inside a uniform unit environment: every path exits
+    # eventually with throughput 1 -> L == env exactly
+    l, _ = _trace(_env_scene(sigma_a=0.0, sigma_s=1.5), bounces=512)
+    np.testing.assert_allclose(l[:, 0], 1.0, atol=1e-4)
+
+
+def test_no_medium_passthrough():
+    scn = _env_scene(0.5, 0.0)
+    scn = scn.__class__(
+        **{
+            **{f: getattr(scn, f) for f in scn.__dataclass_fields__},
+            "medium": None,
+        }
+    )
+    l, a = _trace(scn)
+    np.testing.assert_allclose(l[:, 0], 1.0, atol=1e-6)
