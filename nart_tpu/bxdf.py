@@ -44,6 +44,16 @@ INV_PI = np.float32(1.0 / np.pi)
 _EPS = np.float32(1.1920928955078125e-07)
 
 
+def _safe_sqrt(x):
+    """sqrt(max(0, x)) whose gradient is 0 (not inf/NaN) at x <= 0.
+
+    The double-where pattern: sqrt's derivative at 0 is infinite, and the
+    eta/TIR boundaries hit x == 0 exactly, poisoning parameter gradients.
+    """
+    pos = x > 0.0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, x, 1.0)), 0.0)
+
+
 def _safe_div(a, b, where_ok=None):
     """a / b with b==0 lanes neutralised (double-where for grad safety)."""
     ok = b != 0.0 if where_ok is None else where_ok
@@ -67,10 +77,10 @@ def fresnel(eta_o, eta_i, cos_theta):
     cos_theta is expected unsigned; eta_o == eta_i returns 0.
     """
     cos_o = jnp.minimum(jnp.abs(cos_theta), 1.0)
-    sin_o = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_o * cos_o))
+    sin_o = _safe_sqrt(1.0 - cos_o * cos_o)
     sin_i = _safe_div(eta_o, eta_i) * sin_o
     tir = sin_i > 1.0
-    cos_i = jnp.sqrt(jnp.maximum(0.0, 1.0 - jnp.minimum(sin_i, 1.0) ** 2))
+    cos_i = _safe_sqrt(1.0 - jnp.minimum(sin_i, 1.0) ** 2)
     denom_small = jnp.abs(cos_o + cos_i) < 1e-5
 
     f_para = _safe_div(
@@ -175,7 +185,7 @@ def lobe_eta(desc: BsdfDesc, code):
 def _lambda(w, alpha):
     """Smith Lambda (torrancesparrowbrdf.cpp:12-17)."""
     z = w[..., 2]
-    sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    sin_t = _safe_sqrt(1.0 - z * z)
     tan_t = _safe_div(sin_t, z)
     return (-1.0 + jnp.sqrt(1.0 + alpha * alpha * tan_t * tan_t)) * 0.5
 
@@ -396,7 +406,7 @@ def _refract(w, wh, eta_ratio, cos_o, sin_i):
     b = wh * cos_o[..., None]
     a = w - b
     c = -a * eta_ratio[..., None]
-    d = -wh * jnp.sqrt(jnp.maximum(0.0, 1.0 - sin_i * sin_i))[..., None]
+    d = -wh * _safe_sqrt(1.0 - sin_i * sin_i)[..., None]
     d = jnp.where((jnp.sum(w * wh, -1) < 0.0)[..., None], -d, d)
     return _normalize(c + d)
 
@@ -417,7 +427,7 @@ def dielectric_sample(desc, wo, u1, u2, use_prime, eta_outer, prev_flags):
     fr = fresnel(eta_o, eta_i, jnp.abs(jnp.sum(wh * wo, -1)))
 
     cos_o = jnp.clip(jnp.sum(wo * wh, -1), -1.0, 1.0)
-    sin_o = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_o * cos_o))
+    sin_o = _safe_sqrt(1.0 - cos_o * cos_o)
     sin_i = _safe_div(eta_o, eta_i) * sin_o
     tir = sin_i >= 1.0
 
@@ -449,7 +459,9 @@ def dielectric_sample(desc, wo, u1, u2, use_prime, eta_outer, prev_flags):
 
 def specular_sample(desc, wo, eta_outer):
     """specularbrdf.cpp:14-29."""
-    wi = jnp.stack([-wo[..., 0], -wo[..., 1], wo[..., 2]], axis=-1)
+    wi = jax.lax.stop_gradient(
+        jnp.stack([-wo[..., 0], -wo[..., 1], wo[..., 2]], axis=-1)
+    )
     pdf = jnp.ones(wo.shape[:-1], jnp.float32)
     fr = fresnel(eta_outer, desc.eta, wi[..., 2])
     f = desc.rho_s * _safe_div(fr, jnp.abs(wi[..., 2]))[..., None]
@@ -477,14 +489,14 @@ def specdiel_sample(desc, wo, u2, eta_outer, prev_flags):
     f_refl = jnp.where((wi_refl[..., 2] == 0.0)[..., None], 1.0, f_refl)
 
     cos_o = wo[..., 2]
-    sin_o = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_o * cos_o))
+    sin_o = _safe_sqrt(1.0 - cos_o * cos_o)
     sin_i = _safe_div(eta_o, eta_i) * sin_o
     tir = sin_i >= 1.0
     n = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], jnp.float32), wo.shape)
     b = n * cos_o[..., None]
     a = wo - b
     c = -a * _safe_div(eta_o, eta_i)[..., None]
-    dvec = -n * jnp.sqrt(jnp.maximum(0.0, 1.0 - jnp.minimum(sin_i, 1.0) ** 2))[..., None]
+    dvec = -n * _safe_sqrt(1.0 - jnp.minimum(sin_i, 1.0) ** 2)[..., None]
     dvec = jnp.where((cos_o < 0.0)[..., None], -dvec, dvec)
     wi_refr = _normalize(c + dvec)
     ratio2 = _safe_div(eta_o, eta_i) ** 2
@@ -511,7 +523,7 @@ def specdiel_sample(desc, wo, u2, eta_outer, prev_flags):
     ).astype(jnp.int32)
 
     # index-matched pass-through (speculardielectricbrdf.cpp:23-28)
-    wi = jnp.where(matched[..., None], -wo, wi)
+    wi = jax.lax.stop_gradient(jnp.where(matched[..., None], -wo, wi))
     pdf = jnp.where(matched, 0.0, pdf)
     f = jnp.where(matched[..., None], desc.tau, f)
     flags = jnp.where(matched, prev_flags | TRANSMISSIVE, flags)

@@ -1,0 +1,103 @@
+"""Flag-compatible CLI.  Parity: src/core/main.cpp + ParseRenderParamArguments.
+
+Usage: nart-tpu <scene.json> <outPath> [flags]
+  --imageWidth/-w --imageHeight/-h --bucketSize/-b --spp/-s
+  --bounces/-o --filterWidth/-f --rougheningFactor/-r
+plus TPU-native extras:
+  --devices N   shard pixel lanes over the first N devices
+  --assetRoot   base dir for scene-relative assets (default: auto)
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="nart-tpu", add_help=False)
+    p.add_argument("scene")
+    p.add_argument("out")
+    p.add_argument("--imageWidth", "-w", type=int, dest="image_width")
+    p.add_argument("--imageHeight", "-h", type=int, dest="image_height")
+    p.add_argument("--bucketSize", "-b", type=int, dest="bucket_size")
+    p.add_argument("--spp", "-s", type=int, dest="spp")
+    p.add_argument("--bounces", "-o", type=int, dest="bounces")
+    p.add_argument("--filterWidth", "-f", type=float, dest="filter_width")
+    p.add_argument(
+        "--rougheningFactor", "-r", type=float, dest="roughening_factor"
+    )
+    p.add_argument("--devices", type=int, default=None)
+    p.add_argument("--assetRoot", type=str, default=None)
+    p.add_argument("--help", action="help")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    overrides = {
+        k: getattr(args, k)
+        for k in (
+            "image_width",
+            "image_height",
+            "bucket_size",
+            "spp",
+            "bounces",
+            "filter_width",
+            "roughening_factor",
+        )
+        if getattr(args, k) is not None
+    }
+
+    from . import render as render_mod
+    from .scene import load_scene
+
+    print(f"Loading {args.scene}...")
+    scene = load_scene(args.scene, asset_root=args.assetRoot)
+    sessions = render_mod.load_sessions(args.scene, overrides)
+    if not sessions:
+        print(f"Failed to load sessions from {args.scene}", file=sys.stderr)
+        return 1
+
+    for i, params in enumerate(sessions):
+        start = time.time()
+        print("Rendering...")
+        sess = render_mod.RenderSession(scene, params)
+        if args.devices and args.devices > 1:
+            import jax
+            import jax.numpy as jnp
+
+            from . import film as film_mod
+            from . import sharding
+
+            mesh = sharding.make_mesh(args.devices)
+            buf = sharding.render_sharded(
+                scene, sess.bvh, params, mesh, sess.render_w, sess.render_h,
+                sess.total_w, sess.total_h, sess.filter_bounds,
+            )
+            img = np.asarray(
+                film_mod.finalize(
+                    buf, params.image_width, params.image_height,
+                    sess.filter_bounds,
+                )
+            )
+            out_path = args.out if len(sessions) == 1 else f"{args.out}_{i}"
+            if not out_path.endswith(".exr"):
+                out_path += ".exr"
+            from . import exr
+
+            print(f"Writing to {out_path}...")
+            exr.write(out_path, img)
+        else:
+            out_path = args.out if len(sessions) == 1 else f"{args.out}_{i}"
+            print(f"Writing to {out_path}.exr...")
+            out_path = sess.write_exr(out_path)
+        print(f"Completed in {time.time() - start:.6g}s")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

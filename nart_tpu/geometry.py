@@ -86,27 +86,65 @@ def intersect_chunk(o, d, shear, t_min, t_best, tri_v):
 
     Returns (t (N,), idx_in_chunk (N,), u, v) of the nearest *strictly
     closer than t_best* valid hit; idx -1 when none.
+
+    Memory shape note: everything streams through (N, C) f32 buffers (no
+    (N, C, 3, 3) intermediates) — the per-ray axis permutation is a masked
+    3-way select of triangle coordinate columns, which XLA fuses into the
+    edge-function arithmetic.  The select is exact (same f32 values as a
+    gather), preserving watertight parity.
     """
     v0, v1, v2 = tri_v[:, 0], tri_v[:, 1], tri_v[:, 2]  # (C, 3)
     n = jnp.cross(v1 - v0, v2 - v0)  # (C, 3) unnormalised geometric normal
 
-    d_dot_n = d @ n.T  # (N, C)
+    d_dot_n = (
+        d[:, 0:1] * n[None, :, 0]
+        + d[:, 1:2] * n[None, :, 1]
+        + d[:, 2:3] * n[None, :, 2]
+    )  # (N, C)
+    o_dot_n = (
+        o[:, 0:1] * n[None, :, 0]
+        + o[:, 1:2] * n[None, :, 1]
+        + o[:, 2:3] * n[None, :, 2]
+    )
     v0_dot_n = jnp.sum(v0 * n, axis=-1)  # (C,)
-    o_dot_n = o @ n.T  # (N, C)
     t = (v0_dot_n[None, :] - o_dot_n) / d_dot_n  # (N, C)
 
     in_range = (t > t_min[:, None]) & (t < t_best[:, None])
 
-    # translate to ray origin and permute axes per ray
-    p = tri_v[None, :, :, :] - o[:, None, None, :]  # (N, C, 3, 3)
-    perm = shear.perm[:, None, None, :]  # (N, 1, 1, 3)
-    p = jnp.take_along_axis(p, jnp.broadcast_to(perm, p.shape), axis=-1)
-    px = p[..., 0] + p[..., 2] * shear.sx[:, None, None]  # (N, C, 3)
-    py = p[..., 1] + p[..., 2] * shear.sy[:, None, None]
+    # per-ray axis selection: axis_sel(arr (C,), axis_idx (N,)) -> (N, C)
+    pa = shear.perm[:, 0:1]  # minor0 axis per ray
+    pb = shear.perm[:, 1:2]  # minor1
+    pc = shear.perm[:, 2:3]  # major
 
-    e0 = edge_fn(px[..., 1], py[..., 1], px[..., 2], py[..., 2])  # (N, C)
-    e1 = edge_fn(px[..., 2], py[..., 2], px[..., 0], py[..., 0])
-    e2 = edge_fn(px[..., 0], py[..., 0], px[..., 1], py[..., 1])
+    def sel_tri(vc, axis):  # vc (C, 3), axis (N, 1) -> (N, C)
+        return jnp.where(
+            axis == 0,
+            vc[None, :, 0],
+            jnp.where(axis == 1, vc[None, :, 1], vc[None, :, 2]),
+        )
+
+    def sel_ray(vec, axis):  # vec (N, 3), axis (N, 1) -> (N, 1)
+        return jnp.take_along_axis(vec, axis, axis=-1)
+
+    o_a = sel_ray(o, pa)
+    o_b = sel_ray(o, pb)
+    o_c = sel_ray(o, pc)
+    sx = shear.sx[:, None]
+    sy = shear.sy[:, None]
+
+    def corner_xy(vc):
+        ca = sel_tri(vc, pa) - o_a  # translated, permuted coords
+        cb = sel_tri(vc, pb) - o_b
+        cc = sel_tri(vc, pc) - o_c
+        return ca + cc * sx, cb + cc * sy
+
+    p0x, p0y = corner_xy(v0)
+    p1x, p1y = corner_xy(v1)
+    p2x, p2y = corner_xy(v2)
+
+    e0 = edge_fn(p1x, p1y, p2x, p2y)  # (N, C)
+    e1 = edge_fn(p2x, p2y, p0x, p0y)
+    e2 = edge_fn(p0x, p0y, p1x, p1y)
 
     neg = (e0 < 0) | (e1 < 0) | (e2 < 0)
     pos = (e0 > 0) | (e1 > 0) | (e2 > 0)

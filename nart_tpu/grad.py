@@ -83,7 +83,7 @@ def render_lanes(scene, bvh, params, width, height, spp, seed_base=0):
         o, d = camera.cast_rays(
             scene.cam_to_world, scene.fov, width, height, px, py, s
         )
-        l, a, state = path_integrator.trace(
+        l, a, state, _ = path_integrator.trace(
             scene, bvh, o, d, state, params, differentiable=True
         )
         return acc + l, state

@@ -29,7 +29,7 @@ import numpy as np
 
 from .. import bxdf, rng
 from ..accel import BVH, intersect_bvh
-from ..geometry import surface_at
+from ..geometry import intersect_brute, surface_at
 from ..lights import light_eval, light_sample
 from ..materials import make_bsdf
 
@@ -140,6 +140,7 @@ class Paths(NamedTuple):
     eta_sampled: jnp.ndarray  # (N,)
     alpha_tweak: jnp.ndarray  # (N,)
     t_lim: jnp.ndarray  # (N,) carried isect.tMax
+    rays: jnp.ndarray  # () float32 — rays traced (main + shadow), for stats
     lst: IsectList
 
 
@@ -208,7 +209,7 @@ def trace(scene, bvh: BVH, o, d, state, params, differentiable=False):
         reverse-mode AD works (path-replay backprop: every sampling decision
         is detached; the backward pass recomputes each bounce instead of
         storing it — jax.checkpoint on the bounce body).
-    Returns (L (N,3), alpha (N,), state).
+    Returns (L (N,3), alpha (N,), state, rays_traced ()).
     """
     n = o.shape[0]
     n_lights = len(scene.lights)
@@ -218,6 +219,19 @@ def trace(scene, bvh: BVH, o, d, state, params, differentiable=False):
     tri_uv = jnp.asarray(scene.tri_uv)
     tri_mesh = jnp.asarray(scene.tri_mesh)
     mesh_priority = jnp.asarray(scene.mesh_priority)
+
+    accel_kind = getattr(params, "accel", "bvh")
+    if accel_kind == "brute":
+        # chunked streaming intersector: on TPU the lockstep BVH walk is
+        # gather/scatter-bound, while the chunk scan streams on the VPU —
+        # far faster for small/medium scenes (see accel.py docstring)
+        def isect(io, idd, tmin, tmax):
+            return intersect_brute(io, idd, tmin, tmax, tri_v, chunk=256)
+
+    else:
+
+        def isect(io, idd, tmin, tmax):
+            return intersect_bvh(io, idd, tmin, tmax, bvh)
 
     paths = Paths(
         o=o,
@@ -231,6 +245,7 @@ def trace(scene, bvh: BVH, o, d, state, params, differentiable=False):
         eta_sampled=jnp.ones((n,)),
         alpha_tweak=jnp.ones((n,)),
         t_lim=jnp.full((n,), INF),
+        rays=jnp.zeros((), jnp.float32),
         lst=isect_list_init(n),
     )
 
@@ -244,7 +259,7 @@ def trace(scene, bvh: BVH, o, d, state, params, differentiable=False):
         alpha = jnp.where(light_hit, 1.0, p.alpha)
 
         # ---- scene intersect -------------------------------------------
-        hit = intersect_bvh(p.o, p.d, jnp.zeros((n,)), t_after_lights, bvh)
+        hit = isect(p.o, p.d, jnp.zeros((n,)), t_after_lights)
         hit_valid = hit.valid & p.alive
         surf = surface_at(hit, tri_v, tri_n, tri_uv, tri_mesh)
 
@@ -312,9 +327,7 @@ def trace(scene, bvh: BVH, o, d, state, params, differentiable=False):
         sh_o = jnp.concatenate([oA, oB], axis=0)
         sh_d = jnp.concatenate([wiA_world, wiB_world], axis=0)
         sh_t = jnp.concatenate([tA, tB], axis=0)
-        sh_hit = intersect_bvh(
-            sh_o, sh_d, jnp.zeros((2 * n,)), sh_t, bvh
-        )
+        sh_hit = isect(sh_o, sh_d, jnp.zeros((2 * n,)), sh_t)
         occA = sh_hit.valid[:n]
         occB = sh_hit.valid[n:]
 
@@ -446,6 +459,9 @@ def trace(scene, bvh: BVH, o, d, state, params, differentiable=False):
             eta_sampled=eta_sampled,
             alpha_tweak=alpha_tweak,
             t_lim=jnp.where(alive, INF, p.t_lim),  # isect reset on live lanes
+            rays=p.rays
+            + jnp.sum(p.alive.astype(jnp.float32))
+            + 2.0 * jnp.sum(m_valid.astype(jnp.float32)),
             lst=lst,
         )
 
@@ -465,4 +481,4 @@ def trace(scene, bvh: BVH, o, d, state, params, differentiable=False):
             return bounce + 1, bounce_body(bounce, paths)
 
         _, paths = jax.lax.while_loop(cond, body, (jnp.int32(0), paths))
-    return paths.l, paths.alpha, paths.state
+    return paths.l, paths.alpha, paths.state, paths.rays

@@ -29,7 +29,7 @@ _MAX_STEPS = 1_000_000  # safety cap; delta tracking terminates probabilisticall
 
 
 def trace(scene, bvh, o, d, state, params):
-    """Returns (L (N,3), alpha (N,), state)."""
+    """Returns (L (N,3), alpha (N,), state, rays=0)."""
     n = o.shape[0]
     medium = scene.medium
     l_out = jnp.zeros((n, 3))
@@ -40,7 +40,7 @@ def trace(scene, bvh, o, d, state, params):
         le, t_l, hit = _nearest_light(
             scene.lights, o, d, jnp.full((n,), INF)
         )
-        return le, jnp.ones((n,)), state
+        return le, jnp.ones((n,)), state, jnp.zeros((), jnp.float32)
 
     sigma_maj = np.float32(medium.sigma_maj)
 
@@ -130,4 +130,4 @@ def trace(scene, bvh, o, d, state, params):
     # escaped lanes: nearest-light pass (volumeintegrator.cpp:66-80)
     le, _, _ = _nearest_light(scene.lights, o, d, jnp.full((n,), INF))
     l_out = l_out + jnp.where(escaped[:, None], le * beta, 0.0)
-    return l_out, jnp.ones((n,)), state
+    return l_out, jnp.ones((n,)), state, jnp.zeros((), jnp.float32)

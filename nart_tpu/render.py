@@ -44,6 +44,8 @@ class RenderParams:
     bounces: int = 10
     filter_width: float = 1.0
     roughening_factor: float = 0.0
+    # TPU-native extras (not part of the reference's JSON schema)
+    accel: str = "bvh"  # "bvh" | "brute"
 
 
 _DEFAULTS = RenderParams()
@@ -103,19 +105,41 @@ class RenderSession:
         self.render_h = min(nby * params.bucket_size, self.total_h)
         self.bvh = build_bvh(np.asarray(scene.tri_v), leaf_size=leaf_size)
 
-    def render(self) -> np.ndarray:
-        """Returns the raw film buffer (totalH, totalW, 5)."""
-        out = _render_jit(
-            self.scene,
-            self.bvh,
-            self.params,
-            self.render_w,
-            self.render_h,
-            self.total_w,
-            self.total_h,
-            self.filter_bounds,
-        )
-        return np.asarray(out)
+    def render(self, with_stats=False):
+        """Returns the raw film buffer (totalH, totalW, 5).
+
+        The spp loop runs in Python over one jit-compiled per-sample step
+        (film and RNG state donated between iterations): same results as a
+        fully fused program, but the compiled graph stays small — important
+        both for compile latency and for scaling spp without recompiles.
+        """
+        n = self.render_w * self.render_h
+        idx = jnp.arange(n, dtype=jnp.int32)
+        px = idx % self.render_w
+        py = idx // self.render_w
+        scene = jax.tree_util.tree_map(jnp.asarray, self.scene)
+        samples, state = _setup_jit(px, py, self.total_w, self.params.spp)
+        buf = jnp.zeros((self.total_h, self.total_w, 5), jnp.float32)
+        rays_total = jnp.zeros((), jnp.float32)
+        for i in range(self.params.spp):
+            buf, state, rays = _spp_step_jit(
+                buf,
+                state,
+                samples[:, i],
+                scene,
+                self.bvh,
+                px,
+                py,
+                self.params,
+                self.total_w,
+                self.total_h,
+                self.filter_bounds,
+            )
+            rays_total = rays_total + rays
+        out = np.asarray(buf)
+        if with_stats:
+            return out, float(rays_total)
+        return out
 
     def image(self) -> np.ndarray:
         """Final normalised RGBA image (H, W, 4)."""
@@ -137,6 +161,105 @@ class RenderSession:
         return out_path
 
 
+def render_film(scene, bvh, params, px, py, total_w, total_h, filter_bounds):
+    """Render the given pixel lanes into a full-size film buffer.
+
+    This is the traced core shared by the single-chip path (_render_jit) and
+    the sharded path (sharding.py): each device renders its pixel-lane shard
+    into a full (totalH, totalW, 5) buffer which is psum-merged — the exact
+    analog of the reference's per-bucket tiles + overlap-add merge
+    (render.cpp:152-203).
+    """
+    # per-pixel streams, seeded y*totalWidth+x (render.cpp:81-82)
+    state = rng.seed(py * total_w + px)
+    samples, state = sampling.latin_square(state, params.spp)  # (N, spp, 2)
+
+    table = jnp.asarray(film.filter_table())
+    buf = jnp.zeros((total_h, total_w, 5), jnp.float32)
+
+    if params.integrator == "volume":
+        from .integrators import volume as volume_integrator
+
+        tracer = functools.partial(
+            volume_integrator.trace, scene, bvh
+        )
+    else:
+        tracer = functools.partial(path_integrator.trace, scene, bvh)
+
+    def spp_body(i, carry):
+        buf, state, rays = carry
+        s = samples[:, i]
+        o, d = camera.cast_rays(
+            scene.cam_to_world,
+            scene.fov,
+            params.image_width,
+            params.image_height,
+            px,
+            py,
+            s,
+        )
+        l, a, state, r = tracer(o, d, state, params)
+        coords = jnp.stack(
+            [
+                (px + filter_bounds).astype(jnp.float32) + s[..., 0],
+                (py + filter_bounds).astype(jnp.float32) + s[..., 1],
+            ],
+            axis=-1,
+        )
+        l_alpha = jnp.concatenate([l, a[:, None]], axis=-1)
+        buf = film.splat(buf, coords, l_alpha, params.filter_width, table)
+        return buf, state, rays + r
+
+    buf, state, rays = jax.lax.fori_loop(
+        0, params.spp, spp_body, (buf, state, jnp.zeros((), jnp.float32))
+    )
+    return buf, rays
+
+
+@functools.partial(jax.jit, static_argnames=("total_w", "n_samples"))
+def _setup_jit(px, py, total_w, n_samples):
+    """Seed per-pixel streams + draw the Latin-square image samples."""
+    state = rng.seed(py * total_w + px)
+    return sampling.latin_square(state, n_samples)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("params", "total_w", "total_h", "filter_bounds"),
+    donate_argnums=(0, 1),
+)
+def _spp_step_jit(
+    buf, state, s, scene, bvh, px, py, params, total_w, total_h, filter_bounds
+):
+    """One sample-per-pixel pass: trace the wavefront + splat into the film."""
+    o, d = camera.cast_rays(
+        scene.cam_to_world,
+        scene.fov,
+        params.image_width,
+        params.image_height,
+        px,
+        py,
+        s,
+    )
+    if params.integrator == "volume":
+        from .integrators import volume as volume_integrator
+
+        l, a, state, r = volume_integrator.trace(scene, bvh, o, d, state, params)
+    else:
+        l, a, state, r = path_integrator.trace(scene, bvh, o, d, state, params)
+    coords = jnp.stack(
+        [
+            (px + filter_bounds).astype(jnp.float32) + s[..., 0],
+            (py + filter_bounds).astype(jnp.float32) + s[..., 1],
+        ],
+        axis=-1,
+    )
+    l_alpha = jnp.concatenate([l, a[:, None]], axis=-1)
+    table = jnp.asarray(film.filter_table())
+    buf = film.splat(buf, coords, l_alpha, params.filter_width, table)
+    return buf, state, r
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -155,49 +278,10 @@ def _render_jit(
     idx = jnp.arange(n, dtype=jnp.int32)
     px = idx % render_w
     py = idx // render_w
-
-    # per-pixel streams, seeded y*totalWidth+x (render.cpp:81-82)
-    state = rng.seed(py * total_w + px)
-    samples, state = sampling.latin_square(state, params.spp)  # (N, spp, 2)
-
-    table = jnp.asarray(film.filter_table())
-    buf = jnp.zeros((total_h, total_w, 5), jnp.float32)
-
-    if params.integrator == "volume":
-        from .integrators import volume as volume_integrator
-
-        tracer = functools.partial(
-            volume_integrator.trace, scene, bvh
-        )
-    else:
-        tracer = functools.partial(path_integrator.trace, scene, bvh)
-
-    def spp_body(i, carry):
-        buf, state = carry
-        s = samples[:, i]
-        o, d = camera.cast_rays(
-            scene.cam_to_world,
-            scene.fov,
-            params.image_width,
-            params.image_height,
-            px,
-            py,
-            s,
-        )
-        l, a, state = tracer(o, d, state, params)
-        coords = jnp.stack(
-            [
-                (px + filter_bounds).astype(jnp.float32) + s[..., 0],
-                (py + filter_bounds).astype(jnp.float32) + s[..., 1],
-            ],
-            axis=-1,
-        )
-        l_alpha = jnp.concatenate([l, a[:, None]], axis=-1)
-        buf = film.splat(buf, coords, l_alpha, params.filter_width, table)
-        return buf, state
-
-    buf, state = jax.lax.fori_loop(0, params.spp, spp_body, (buf, state))
-    return buf
+    buf, rays = render_film(
+        scene, bvh, params, px, py, total_w, total_h, filter_bounds
+    )
+    return buf, rays
 
 
 def render_scene_file(scene_path: str, overrides: Optional[dict] = None):

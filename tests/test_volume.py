@@ -44,7 +44,7 @@ def _trace(scn, n=4096, bounces=64, seed0=0):
     d = jnp.tile(jnp.asarray([[0.0, 0.0, -1.0]]), (n, 1))
     state = rng.seed(jnp.arange(seed0, seed0 + n, dtype=jnp.uint32))
     params = render_mod.RenderParams(bounces=bounces, integrator="volume")
-    l, a, _ = vol_int.trace(scn, None, o, d, state, params)
+    l, a, _, _ = vol_int.trace(scn, None, o, d, state, params)
     return np.asarray(l), np.asarray(a)
 
 
