@@ -105,14 +105,30 @@ class RenderSession:
         self.render_h = min(nby * params.bucket_size, self.total_h)
         self.bvh = build_bvh(np.asarray(scene.tri_v), leaf_size=leaf_size)
 
-    def render(self, with_stats=False):
+    def render(
+        self,
+        with_stats=False,
+        progress=False,
+        checkpoint_path=None,
+        checkpoint_every=0,
+        resume=False,
+    ):
         """Returns the raw film buffer (totalH, totalW, 5).
 
         The spp loop runs in Python over one jit-compiled per-sample step
         (film and RNG state donated between iterations): same results as a
         fully fused program, but the compiled graph stays small — important
         both for compile latency and for scaling spp without recompiles.
+
+        Checkpointing: the (contribution, filterWeightSum) film plus the
+        per-pixel RNG states form a resumable sufficient statistic
+        (SURVEY.md §5); a resumed render is bit-identical to an
+        uninterrupted one.  Progress mirrors the reference's percentage
+        logger (render.cpp:138-149), per spp pass instead of per bucket.
         """
+        import os
+        import sys
+
         n = self.render_w * self.render_h
         idx = jnp.arange(n, dtype=jnp.int32)
         px = idx % self.render_w
@@ -120,8 +136,15 @@ class RenderSession:
         scene = jax.tree_util.tree_map(jnp.asarray, self.scene)
         samples, state = _setup_jit(px, py, self.total_w, self.params.spp)
         buf = jnp.zeros((self.total_h, self.total_w, 5), jnp.float32)
+        start_spp = 0
+        if resume and checkpoint_path and os.path.exists(checkpoint_path):
+            from . import checkpoint as ckpt
+
+            f0, s0, start_spp = ckpt.load(checkpoint_path, self.params)
+            buf = jnp.asarray(f0)
+            state = jnp.asarray(s0)
         rays_total = jnp.zeros((), jnp.float32)
-        for i in range(self.params.spp):
+        for i in range(start_spp, self.params.spp):
             buf, state, rays = _spp_step_jit(
                 buf,
                 state,
@@ -136,6 +159,20 @@ class RenderSession:
                 self.filter_bounds,
             )
             rays_total = rays_total + rays
+            if progress:
+                pct = int((i + 1) * 100 / self.params.spp)
+                print(f"\r{pct}%", end="", file=sys.stderr, flush=True)
+            if (
+                checkpoint_path
+                and checkpoint_every
+                and (i + 1) % checkpoint_every == 0
+                and (i + 1) < self.params.spp
+            ):
+                from . import checkpoint as ckpt
+
+                ckpt.save(checkpoint_path, buf, state, i + 1, self.params)
+        if progress:
+            print("\r100%", file=sys.stderr, flush=True)
         out = np.asarray(buf)
         if with_stats:
             return out, float(rays_total)

@@ -61,3 +61,18 @@ def test_alpha_and_background():
     # center sees the lit quad
     assert img[8, 8, 3] > 0.5
     assert img[8, 8, :3].max() > 0.01
+
+
+def test_accel_paths_agree():
+    # the brute-force and BVH intersectors must produce the same image
+    import dataclasses
+
+    scene = scenes.simple_scene(("plastic", "lambert"), roughness=0.4)
+    params = render_mod.RenderParams(
+        image_width=6, image_height=6, spp=2, bounces=4, filter_width=1.0,
+        accel="bvh",
+    )
+    film_bvh = render_mod.RenderSession(scene, params).render()
+    params_b = dataclasses.replace(params, accel="brute")
+    film_brute = render_mod.RenderSession(scene, params_b).render()
+    np.testing.assert_allclose(film_bvh, film_brute, rtol=1e-5, atol=1e-6)
