@@ -156,16 +156,17 @@ _IDENTITY = np.eye(4, dtype=np.float32).reshape(-1).tolist()
 
 
 class _TexturePacker:
-    def __init__(self, asset_root):
+    def __init__(self, asset_root, missing="placeholder"):
         self.asset_root = asset_root
         self.cache = {}  # (path, is_rough) -> tex_id
         self.images = []
+        self.missing = missing
 
     def add(self, path, is_roughness=False):
         key = (path, is_roughness)
         if key in self.cache:
             return self.cache[key]
-        img = exr_mod.read(resolve_asset(path, self.asset_root))[..., :3]
+        img = _read_texture(path, self.asset_root, self.missing)
         if is_roughness:
             img = img * img  # reference squares roughness on fetch
         tid = len(self.images)
@@ -196,6 +197,24 @@ class _TexturePacker:
             np.asarray(ws, np.int32),
             np.asarray(hs, np.int32),
         )
+
+
+def _read_texture(path, asset_root, missing="placeholder"):
+    """Read an EXR texture, substituting a neutral placeholder when the
+    asset is absent (several reference textures are stripped large blobs —
+    see /root/reference/.MISSING_LARGE_BLOBS)."""
+    try:
+        return exr_mod.read(resolve_asset(path, asset_root))[..., :3]
+    except FileNotFoundError:
+        if missing != "placeholder":
+            raise
+        import sys
+
+        print(
+            f"warning: texture {path!r} missing; using 0.5 placeholder",
+            file=sys.stderr,
+        )
+        return np.full((4, 4, 3), 0.5, np.float32)
 
 
 def resolve_asset(path: str, asset_root: str) -> str:
@@ -289,21 +308,32 @@ def load_scene(scene_path: str, asset_root: Optional[str] = None) -> SceneData:
     medium = None
     if "medium" in cam:
         m = cam["medium"]
-        grid = vol_mod.load_vol(resolve_asset(m["filePath"], asset_root))
-        sigma_a = float(m["sigma_a"])
-        sigma_s = float(m["sigma_s"])
-        # reference majorant: width-1 grid => single global majorant =
-        # max(all density verts, trilinear corner samples) * (sigma_a+sigma_s)
-        sigma_maj = float(grid.density.max()) * (sigma_a + sigma_s)
-        medium = MediumData(
-            bounds_min=grid.bounds_min,
-            bounds_max=grid.bounds_max,
-            sigma_a=sigma_a,
-            sigma_s=sigma_s,
-            le=np.asarray(m["Le"], np.float32),
-            density=grid.density,
-            sigma_maj=sigma_maj,
-        )
+        try:
+            grid = vol_mod.load_vol(resolve_asset(m["filePath"], asset_root))
+        except FileNotFoundError:
+            import sys
+
+            print(
+                f"warning: volume {m['filePath']!r} missing; camera medium "
+                "disabled",
+                file=sys.stderr,
+            )
+            grid = None
+        if grid is not None:
+            sigma_a = float(m["sigma_a"])
+            sigma_s = float(m["sigma_s"])
+            # reference majorant: width-1 grid => single global majorant =
+            # max(density verts / corner samples) * (sigma_a + sigma_s)
+            sigma_maj = float(grid.density.max()) * (sigma_a + sigma_s)
+            medium = MediumData(
+                bounds_min=grid.bounds_min,
+                bounds_max=grid.bounds_max,
+                sigma_a=sigma_a,
+                sigma_s=sigma_s,
+                le=np.asarray(m["Le"], np.float32),
+                density=grid.density,
+                sigma_maj=sigma_maj,
+            )
 
     # ---- meshes + materials (scene.cpp:644-780) ----
     mesh_defs = doc.get("meshes", [])
@@ -390,9 +420,9 @@ def load_scene(scene_path: str, asset_root: Optional[str] = None) -> SceneData:
         le_tex_img = None
         env2d = None
         if isinstance(le_node, dict) and le_node.get("type") == "texture":
-            img = exr_mod.read(resolve_asset(le_node["filePath"], asset_root))[
-                ..., :3
-            ].astype(np.float32)
+            img = _read_texture(le_node["filePath"], asset_root).astype(
+                np.float32
+            )
             le_tex_img = img
             env2d = _build_env2d(img)  # GetLe always builds the pdf (scene.cpp:569)
             le_const = np.zeros(3, np.float32)
