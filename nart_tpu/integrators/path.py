@@ -221,7 +221,17 @@ def trace(scene, bvh: BVH, o, d, state, params, differentiable=False):
     mesh_priority = jnp.asarray(scene.mesh_priority)
 
     accel_kind = getattr(params, "accel", "bvh")
-    if accel_kind == "brute":
+    if accel_kind == "pallas":
+        from ..pallas_accel import ClusterAccel, intersect_clusters
+
+        assert isinstance(bvh, ClusterAccel), (
+            "accel='pallas' needs a ClusterAccel (build_clusters)"
+        )
+
+        def isect(io, idd, tmin, tmax):
+            return intersect_clusters(io, idd, tmin, tmax, bvh)
+
+    elif accel_kind == "brute":
         # chunked streaming intersector: on TPU the lockstep BVH walk is
         # gather/scatter-bound, while the chunk scan streams on the VPU —
         # far faster for small/medium scenes (see accel.py docstring)
@@ -343,6 +353,12 @@ def trace(scene, bvh: BVH, o, d, state, params, differentiable=False):
             & ~occA
             & (wA_spec | (light_pdf_A > 0.0))
         )
+        if not getattr(params, "mis_bsdf", True):
+            addA = addA & False
+        if not getattr(params, "mis_light", True):
+            # single-strategy weight = 1 (reference #if toggles drop the
+            # power-heuristic denominator term)
+            weightA = jnp.ones_like(weightA)
         contribA = (
             fA
             * liA
@@ -361,6 +377,10 @@ def trace(scene, bvh: BVH, o, d, state, params, differentiable=False):
             pdfB * pdfB + light_pdf_B * light_pdf_B, 1e-30
         )
         addB = m_valid & ~occB & (light_pdf_B > 0.0) & (pdfB > 0.0)
+        if not getattr(params, "mis_light", True):
+            addB = addB & False
+        if not getattr(params, "mis_bsdf", True):
+            misB = jnp.ones_like(misB)
         contribB = (
             fB
             * liB

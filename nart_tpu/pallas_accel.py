@@ -4,24 +4,21 @@ Role parity: the BVH acceleration structure (reference src/core/bvh.cpp)
 re-designed for the TPU execution model.  Pointer-chasing per-ray traversal
 is hostile to the VPU; instead:
 
-  * triangles are Morton-sorted and grouped into clusters of 128 with
-    precomputed AABBs (the LBVH leaf level);
-  * the kernel processes one *block* of rays per grid step, keeping the
-    block's rays and running best-hit state in VMEM;
-  * for every cluster, a SCALAR conservative interval-arithmetic slab test
-    (block ray bounds vs cluster AABB) decides — via `@pl.when` — whether
-    the block runs the vectorised watertight test on that cluster's
-    triangles at all.  Skipped clusters cost ~a dozen scalar ops, so work
-    scales with what the block can actually see, not with scene size.
+  * triangles are Morton-sorted into clusters of 128 with AABBs (the LBVH
+    leaf level, accel.py's morton ordering);
+  * ray *blocks* are tested against cluster AABBs with conservative
+    interval arithmetic — computed vectorised in XLA as a
+    (n_blocks, n_clusters) `may_hit` mask *outside* the kernel;
+  * the kernel processes one ray block per grid step, loops over clusters,
+    and uses `@pl.when(may_hit[c])` to skip the vectorised watertight test
+    for culled clusters.  Skipped clusters cost one scalar load + branch,
+    so per-block work scales with what the block can see, not scene size.
 
-This is the "stackless traversal" shape that fits the hardware: uniform
-control flow per block, dense (R, 128) vector math on the VPU, contiguous
-dynamic slices instead of per-lane gathers.  Ray blocks inherit raster /
-bounce coherence; incoherent blocks degrade gracefully to brute force.
-
-The watertight triangle test inside the kernel is the same permute-shear
-formulation as geometry.intersect_chunk (geometry.cpp:32-115 parity,
-including the FMA-noise snap in the edge functions).
+Control flow stays block-uniform (the TPU-friendly traversal shape); tri
+data is read with contiguous dynamic slices from VMEM — no per-lane gathers.
+The in-kernel watertight test is the same permute-shear formulation as
+geometry.intersect_chunk (geometry.cpp:32-115 parity, including the
+FMA-noise snap in the edge functions).
 """
 
 from __future__ import annotations
@@ -37,7 +34,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .accel import morton3
-from .geometry import Hit
+from .geometry import Hit, ray_shear
 from .tree import pytree_dataclass
 
 INF = np.float32(np.inf)
@@ -49,9 +46,9 @@ CLUSTER = 128  # triangles per cluster == VPU lane width
 class ClusterAccel:
     """Morton-ordered triangle clusters with AABBs."""
 
-    tri_v0: Any  # (Tpad, 3)  reordered corner 0
-    tri_e1: Any  # (Tpad, 3)  v1 (not edge; kept as corners)
-    tri_e2: Any  # (Tpad, 3)  v2
+    tri_v0: Any  # (Tpad, 3)
+    tri_v1: Any  # (Tpad, 3)
+    tri_v2: Any  # (Tpad, 3)
     order: Any  # (Tpad,) int32 original tri id (-1 padding)
     cl_lo: Any  # (n_clusters, 3)
     cl_hi: Any  # (n_clusters, 3)
@@ -84,8 +81,8 @@ def build_clusters(tri_v: np.ndarray) -> ClusterAccel:
     cl_hi = hi_p.reshape(n_cl, CLUSTER, 3).max(axis=1)
     return ClusterAccel(
         tri_v0=jnp.asarray(tv[:, 0]),
-        tri_e1=jnp.asarray(tv[:, 1]),
-        tri_e2=jnp.asarray(tv[:, 2]),
+        tri_v1=jnp.asarray(tv[:, 1]),
+        tri_v2=jnp.asarray(tv[:, 2]),
         order=jnp.asarray(order_p),
         cl_lo=jnp.asarray(cl_lo),
         cl_hi=jnp.asarray(cl_hi),
@@ -94,17 +91,60 @@ def build_clusters(tri_v: np.ndarray) -> ClusterAccel:
     )
 
 
+def block_cluster_mask(o, d, t_max, cl_lo, cl_hi, block):
+    """Conservative (n_blocks, n_clusters) visibility mask, vectorised.
+
+    Interval-arithmetic slab test between each ray block's bounds
+    (origin box, direction box, tmax upper bound) and each cluster AABB.
+    Axes whose direction interval spans zero give no constraint.
+    """
+    nb = o.shape[0] // block
+    ob = o.reshape(nb, block, 3)
+    db = d.reshape(nb, block, 3)
+    o_lo = ob.min(axis=1)  # (nb, 3)
+    o_hi = ob.max(axis=1)
+    d_lo = db.min(axis=1)
+    d_hi = db.max(axis=1)
+    tmax_ub = t_max.reshape(nb, block).max(axis=1)  # (nb,)
+
+    spans0 = (d_lo <= 0.0) & (d_hi >= 0.0)  # (nb, 3)
+    il = 1.0 / jnp.where(spans0, 1.0, d_hi)
+    ih = 1.0 / jnp.where(spans0, 1.0, d_lo)
+
+    # (nb, 1, 3) vs (1, nc, 3)
+    a_lo = cl_lo[None] - o_hi[:, None]
+    a_hi = cl_lo[None] - o_lo[:, None]
+    b_lo = cl_hi[None] - o_hi[:, None]
+    b_hi = cl_hi[None] - o_lo[:, None]
+    cands = jnp.stack(
+        [
+            a_lo * il[:, None], a_lo * ih[:, None],
+            a_hi * il[:, None], a_hi * ih[:, None],
+            b_lo * il[:, None], b_lo * ih[:, None],
+            b_hi * il[:, None], b_hi * ih[:, None],
+        ]
+    )  # (8, nb, nc, 3)
+    t_lo = jnp.where(spans0[:, None], -INF, cands.min(axis=0))
+    t_hi = jnp.where(spans0[:, None], INF, cands.max(axis=0))
+    enter_lb = t_lo.max(axis=-1)  # (nb, nc)
+    exit_ub = t_hi.min(axis=-1)
+    return (
+        (enter_lb <= exit_ub)
+        & (exit_ub >= 0.0)
+        & (enter_lb <= tmax_ub[:, None])
+    )
+
+
 def _kernel(
+    mask_ref,  # (1, n_clusters) int32 — this block's cluster visibility
     o_ref,
     d_ref,
     tmin_ref,
     tmax_ref,
-    shear_ref,  # (R, 6): perm0, perm1, perm2 (as f32), sx, sy, sz
+    shear_ref,  # (R, 8): perm0..2 (f32), sx, sy, sz, pad, pad
     v0_ref,
     v1_ref,
     v2_ref,
-    cl_lo_ref,
-    cl_hi_ref,
     t_out,
     idx_out,
     u_out,
@@ -113,23 +153,16 @@ def _kernel(
     n_clusters,
 ):
     r = o_ref.shape[0]
-    o = o_ref[:]  # (R, 3)
+    o = o_ref[:]
     d = d_ref[:]
-    t_min = tmin_ref[:]  # (R, 1)
+    t_min = tmin_ref[:]
     perm0 = shear_ref[:, 0:1]
     perm1 = shear_ref[:, 1:2]
     perm2 = shear_ref[:, 2:3]
     sx = shear_ref[:, 3:4]
     sy = shear_ref[:, 4:5]
 
-    # block ray bounds for the conservative cluster test (scalars)
-    o_lo = jnp.min(o, axis=0)  # (3,)
-    o_hi = jnp.max(o, axis=0)
-    d_lo = jnp.min(d, axis=0)
-    d_hi = jnp.max(d, axis=0)
-    tmax_ub = jnp.max(tmax_ref[:])
-
-    def sel_ray(vec, axis):  # (R,3), (R,1) -> (R,1)
+    def sel_ray(vec, axis):
         return jnp.where(
             axis == 0.0,
             vec[:, 0:1],
@@ -146,62 +179,31 @@ def _kernel(
     v_out[:] = jnp.zeros((r, 1), jnp.float32)
 
     def cluster_body(c, _):
-        lo_n = cl_lo_ref[pl.ds(c, 1), :][0]  # (3,)
-        hi_n = cl_hi_ref[pl.ds(c, 1), :][0]
-
-        # conservative interval slab test (per axis, scalar)
-        def axis_bounds(k):
-            a_lo = lo_n[k] - o_hi[k]
-            a_hi = lo_n[k] - o_lo[k]
-            b_lo = hi_n[k] - o_hi[k]
-            b_hi = hi_n[k] - o_lo[k]
-            dl, dh = d_lo[k], d_hi[k]
-            spans0 = (dl <= 0.0) & (dh >= 0.0)
-            il = 1.0 / jnp.where(spans0, 1.0, dh)
-            ih = 1.0 / jnp.where(spans0, 1.0, dl)
-            # interval products for both planes
-            cands = jnp.stack(
-                [a_lo * il, a_lo * ih, a_hi * il, a_hi * ih,
-                 b_lo * il, b_lo * ih, b_hi * il, b_hi * ih]
-            )
-            t_lo = jnp.where(spans0, -INF, jnp.min(cands))
-            t_hi = jnp.where(spans0, INF, jnp.max(cands))
-            return t_lo, t_hi
-
-        l0, h0 = axis_bounds(0)
-        l1, h1 = axis_bounds(1)
-        l2, h2 = axis_bounds(2)
-        enter_lb = jnp.maximum(jnp.maximum(l0, l1), l2)
-        exit_ub = jnp.minimum(jnp.minimum(h0, h1), h2)
-        may_hit = (enter_lb <= exit_ub) & (exit_ub >= 0.0) & (
-            enter_lb <= tmax_ub
-        )
-
-        @pl.when(may_hit)
+        @pl.when(mask_ref[0, c] != 0)
         def _():
             base = c * CLUSTER
-            v0 = v0_ref[pl.ds(base, CLUSTER), :]  # (C, 3)
+            v0 = v0_ref[pl.ds(base, CLUSTER), :]
             v1 = v1_ref[pl.ds(base, CLUSTER), :]
             v2 = v2_ref[pl.ds(base, CLUSTER), :]
-            n = jnp.cross(v1 - v0, v2 - v0)  # (C, 3)
+            n = jnp.cross(v1 - v0, v2 - v0)
 
             d_dot_n = (
                 d[:, 0:1] * n[None, :, 0]
                 + d[:, 1:2] * n[None, :, 1]
                 + d[:, 2:3] * n[None, :, 2]
-            )  # (R, C)
+            )
             o_dot_n = (
                 o[:, 0:1] * n[None, :, 0]
                 + o[:, 1:2] * n[None, :, 1]
                 + o[:, 2:3] * n[None, :, 2]
             )
-            v0n = jnp.sum(v0 * n, axis=-1)  # (C,)
+            v0n = jnp.sum(v0 * n, axis=-1)
             t = (v0n[None, :] - o_dot_n) / d_dot_n
 
-            t_best = t_out[:]  # (R, 1)
+            t_best = t_out[:]
             in_range = (t > t_min) & (t < t_best)
 
-            def sel_tri(vc, axis):  # (C,3), (R,1) -> (R,C)
+            def sel_tri(vc, axis):
                 return jnp.where(
                     axis == 0.0,
                     vc[None, :, 0],
@@ -236,18 +238,17 @@ def _kernel(
                 & (jnp.abs(e0) + jnp.abs(e1) + jnp.abs(e2) != 0.0)
             )
 
-            # reduction-based argmin/select (per-lane gathers don't lower
-            # to Mosaic): first-wins ties via column-iota keying
+            # reduction-based argmin/select (per-lane gathers don't lower)
             t_hit = jnp.where(hit, t, INF)
-            t_sel = jnp.min(t_hit, axis=-1, keepdims=True)  # (R, 1)
+            t_sel = jnp.min(t_hit, axis=-1, keepdims=True)
             cols = jax.lax.broadcasted_iota(jnp.int32, (r, CLUSTER), 1)
-            big = jnp.int32(CLUSTER + 1)
             best = jnp.min(
-                jnp.where(t_hit == t_sel, cols, big), axis=-1, keepdims=True
+                jnp.where(t_hit == t_sel, cols, jnp.int32(CLUSTER + 1)),
+                axis=-1,
+                keepdims=True,
             )
             onehot = (cols == best) & (t_hit == t_sel)
-            esum = jnp.sum(jnp.where(onehot, e0 + e1 + e2, 0.0), -1,
-                           keepdims=True)
+            esum = jnp.sum(jnp.where(onehot, e0 + e1 + e2, 0.0), -1, keepdims=True)
             e0s = jnp.sum(jnp.where(onehot, e0, 0.0), -1, keepdims=True)
             e1s = jnp.sum(jnp.where(onehot, e1, 0.0), -1, keepdims=True)
             better = t_sel < t_best
@@ -265,8 +266,6 @@ def _kernel(
 def intersect_clusters(o, d, t_min, t_max, accel: ClusterAccel,
                        block=512, interpret=False):
     """Nearest-hit over the clustered scene.  Returns a Hit (original ids)."""
-    from .geometry import ray_shear
-
     n = o.shape[0]
     pad = (-n) % block
     if pad:
@@ -281,30 +280,36 @@ def intersect_clusters(o, d, t_min, t_max, accel: ClusterAccel,
             shear.sx[:, None],
             shear.sy[:, None],
             shear.sz[:, None],
+            jnp.zeros((n + pad, 2), jnp.float32),
         ],
         axis=-1,
-    )  # (N, 6)
+    )  # (N, 8)
+
+    mask = block_cluster_mask(
+        o, d, t_max, accel.cl_lo, accel.cl_hi, block
+    ).astype(jnp.int32)  # (nb, nc)
 
     grid = ((n + pad) // block,)
     blk = lambda w: pl.BlockSpec((block, w), lambda i: (i, 0),
                                  memory_space=pltpu.VMEM)
     full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
                                   memory_space=pltpu.VMEM)
+    mask_spec = pl.BlockSpec((1, accel.n_clusters), lambda i: (i, 0),
+                             memory_space=pltpu.SMEM)
 
     t, idx, u, v = pl.pallas_call(
         functools.partial(_kernel, n_clusters=accel.n_clusters),
         grid=grid,
         in_specs=[
-            blk(3),  # o
-            blk(3),  # d
-            blk(1),  # tmin
-            blk(1),  # tmax
-            blk(6),  # shear
+            mask_spec,
+            blk(3),
+            blk(3),
+            blk(1),
+            blk(1),
+            blk(8),
             full(accel.tri_v0),
-            full(accel.tri_e1),
-            full(accel.tri_e2),
-            full(accel.cl_lo),
-            full(accel.cl_hi),
+            full(accel.tri_v1),
+            full(accel.tri_v2),
         ],
         out_specs=[blk(1), blk(1), blk(1), blk(1)],
         out_shape=[
@@ -315,16 +320,15 @@ def intersect_clusters(o, d, t_min, t_max, accel: ClusterAccel,
         ],
         interpret=interpret,
     )(
+        mask,
         o,
         d,
         t_min[:, None],
         t_max[:, None],
         shear_pack,
         accel.tri_v0,
-        accel.tri_e1,
-        accel.tri_e2,
-        accel.cl_lo,
-        accel.cl_hi,
+        accel.tri_v1,
+        accel.tri_v2,
     )
     t = t[:n, 0]
     idx = idx[:n, 0]

@@ -45,7 +45,11 @@ class RenderParams:
     filter_width: float = 1.0
     roughening_factor: float = 0.0
     # TPU-native extras (not part of the reference's JSON schema)
-    accel: str = "bvh"  # "bvh" | "brute"
+    accel: str = "bvh"  # "bvh" | "brute" | "pallas"
+    # MIS strategy toggles (reference compile-time BSDF_SAMPLING /
+    # LIGHT_SAMPLING, pathintegrator.cpp:3-4); both on by default
+    mis_bsdf: bool = True
+    mis_light: bool = True
 
 
 _DEFAULTS = RenderParams()
@@ -103,7 +107,12 @@ class RenderSession:
         nby = -(-params.image_height // params.bucket_size)
         self.render_w = min(nbx * params.bucket_size, self.total_w)
         self.render_h = min(nby * params.bucket_size, self.total_h)
-        self.bvh = build_bvh(np.asarray(scene.tri_v), leaf_size=leaf_size)
+        if params.accel == "pallas":
+            from .pallas_accel import build_clusters
+
+            self.bvh = build_clusters(np.asarray(scene.tri_v))
+        else:
+            self.bvh = build_bvh(np.asarray(scene.tri_v), leaf_size=leaf_size)
 
     def render(
         self,

@@ -76,3 +76,27 @@ def test_accel_paths_agree():
     params_b = dataclasses.replace(params, accel="brute")
     film_brute = render_mod.RenderSession(scene, params_b).render()
     np.testing.assert_allclose(film_bvh, film_brute, rtol=1e-5, atol=1e-6)
+
+
+def test_mis_strategies_converge():
+    # classic Veach check: BSDF-only and light-only sampling must converge
+    # to the same mean image (the MIS toggles mirror the reference's
+    # BSDF_SAMPLING / LIGHT_SAMPLING compile switches)
+    import dataclasses
+
+    scene = scenes.simple_scene(("plastic",), roughness=0.6, intensity=8.0)
+    base = render_mod.RenderParams(
+        image_width=6, image_height=6, spp=48, bounces=2, filter_width=1.0
+    )
+    means = {}
+    for name, kw in (
+        ("bsdf", dict(mis_light=False)),
+        ("light", dict(mis_bsdf=False)),
+        ("both", {}),
+    ):
+        p = dataclasses.replace(base, **kw)
+        img = render_mod.RenderSession(scene, p).image()
+        means[name] = img[..., :3].mean()
+    # all three estimate the same integral
+    assert abs(means["bsdf"] - means["light"]) / means["both"] < 0.12, means
+    assert abs(means["both"] - means["light"]) / means["both"] < 0.12, means
