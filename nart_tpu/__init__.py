@@ -31,3 +31,31 @@ Layer map (bottom → top), mirroring the reference's layering (SURVEY.md §1):
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_persistent_compile_cache() -> None:
+    """Point JAX's persistent compilation cache at a stable on-disk dir.
+
+    TPU (Mosaic) compiles of the traversal kernels take minutes; caching them
+    across processes makes every run after the first start in seconds.  No-op
+    if the user already configured a cache dir.
+    """
+    import os
+
+    import jax
+
+    if jax.config.jax_compilation_cache_dir is None:
+        cache = os.environ.get(
+            "NART_TPU_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache", "nart_tpu_xla"),
+        )
+        try:
+            os.makedirs(cache, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        except Exception:
+            pass  # cache is an optimisation only — never fail import
+
+
+_enable_persistent_compile_cache()

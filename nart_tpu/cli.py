@@ -32,6 +32,13 @@ def build_parser():
     )
     p.add_argument("--devices", type=int, default=None)
     p.add_argument("--assetRoot", type=str, default=None)
+    p.add_argument(
+        "--accel",
+        choices=("bvh", "brute", "pallas"),
+        default=None,
+        help="intersector: lockstep LBVH walk, streaming brute force, "
+        "or the Pallas cluster-culling kernel (TPU fast path)",
+    )
     p.add_argument("--help", action="help")
     return p
 
@@ -48,6 +55,7 @@ def main(argv=None):
             "bounces",
             "filter_width",
             "roughening_factor",
+            "accel",
         )
         if getattr(args, k) is not None
     }

@@ -4,21 +4,22 @@ Role parity: the BVH acceleration structure (reference src/core/bvh.cpp)
 re-designed for the TPU execution model.  Pointer-chasing per-ray traversal
 is hostile to the VPU; instead:
 
-  * triangles are Morton-sorted into clusters of 128 with AABBs (the LBVH
-    leaf level, accel.py's morton ordering);
+  * triangles are Morton-sorted into clusters of 128 (the LBVH leaf level)
+    and stored as LANE-ALIGNED coordinate planes — 13 arrays of shape
+    (n_clusters, 128): the 9 corner coordinates plus the precomputed
+    unnormalised geometric normal and v0.n (hoisting the cross product out
+    of the kernel).  Every in-kernel tensor is then a natural (R, 128) tile;
   * ray *blocks* are tested against cluster AABBs with conservative
-    interval arithmetic — computed vectorised in XLA as a
-    (n_blocks, n_clusters) `may_hit` mask *outside* the kernel;
-  * the kernel processes one ray block per grid step, loops over clusters,
-    and uses `@pl.when(may_hit[c])` to skip the vectorised watertight test
-    for culled clusters.  Skipped clusters cost one scalar load + branch,
-    so per-block work scales with what the block can see, not scene size.
+    interval arithmetic, vectorised in XLA as a (n_blocks, n_clusters)
+    `may_hit` mask before the kernel launches;
+  * the kernel handles one ray block per grid step, loops over clusters,
+    and `@pl.when(may_hit[c])` skips the watertight test for culled
+    clusters: per-block work scales with what the block can see, not with
+    scene size.  Control flow stays block-uniform — the TPU-friendly
+    traversal shape — and triangle loads are contiguous row slices.
 
-Control flow stays block-uniform (the TPU-friendly traversal shape); tri
-data is read with contiguous dynamic slices from VMEM — no per-lane gathers.
-The in-kernel watertight test is the same permute-shear formulation as
-geometry.intersect_chunk (geometry.cpp:32-115 parity, including the
-FMA-noise snap in the edge functions).
+The watertight test matches geometry.intersect_chunk (geometry.cpp:32-115
+parity, including the FMA-noise snap in the edge functions).
 """
 
 from __future__ import annotations
@@ -44,12 +45,10 @@ CLUSTER = 128  # triangles per cluster == VPU lane width
 @pytree_dataclass(meta_fields=("n_clusters", "n_tris"))
 @dataclass
 class ClusterAccel:
-    """Morton-ordered triangle clusters with AABBs."""
+    """Morton-ordered triangle clusters, lane-aligned coordinate planes."""
 
-    tri_v0: Any  # (Tpad, 3)
-    tri_v1: Any  # (Tpad, 3)
-    tri_v2: Any  # (Tpad, 3)
-    order: Any  # (Tpad,) int32 original tri id (-1 padding)
+    planes: Any  # (13, n_clusters, CLUSTER): v0x v0y v0z v1x..v2z nx ny nz v0n
+    order: Any  # (n_clusters * CLUSTER,) int32 original tri id (-1 padding)
     cl_lo: Any  # (n_clusters, 3)
     cl_hi: Any  # (n_clusters, 3)
     n_clusters: int
@@ -73,19 +72,27 @@ def build_clusters(tri_v: np.ndarray) -> ClusterAccel:
     order_p[:t] = order
     tv = np.zeros((t_pad, 3, 3), np.float32)
     tv[:t] = tri_v[order]
+    n = np.cross(tv[:, 1] - tv[:, 0], tv[:, 2] - tv[:, 0])
+    v0n = np.sum(tv[:, 0] * n, axis=-1)
+    planes = np.stack(
+        [
+            tv[:, 0, 0], tv[:, 0, 1], tv[:, 0, 2],
+            tv[:, 1, 0], tv[:, 1, 1], tv[:, 1, 2],
+            tv[:, 2, 0], tv[:, 2, 1], tv[:, 2, 2],
+            n[:, 0], n[:, 1], n[:, 2],
+            v0n,
+        ]
+    ).reshape(13, n_cl, CLUSTER)
+
     lo_p = np.full((t_pad, 3), INF, np.float32)
     hi_p = np.full((t_pad, 3), -INF, np.float32)
     lo_p[:t] = lo[order]
     hi_p[:t] = hi[order]
-    cl_lo = lo_p.reshape(n_cl, CLUSTER, 3).min(axis=1)
-    cl_hi = hi_p.reshape(n_cl, CLUSTER, 3).max(axis=1)
     return ClusterAccel(
-        tri_v0=jnp.asarray(tv[:, 0]),
-        tri_v1=jnp.asarray(tv[:, 1]),
-        tri_v2=jnp.asarray(tv[:, 2]),
+        planes=jnp.asarray(planes.astype(np.float32)),
         order=jnp.asarray(order_p),
-        cl_lo=jnp.asarray(cl_lo),
-        cl_hi=jnp.asarray(cl_hi),
+        cl_lo=jnp.asarray(lo_p.reshape(n_cl, CLUSTER, 3).min(axis=1)),
+        cl_hi=jnp.asarray(hi_p.reshape(n_cl, CLUSTER, 3).max(axis=1)),
         n_clusters=n_cl,
         n_tris=t,
     )
@@ -94,24 +101,23 @@ def build_clusters(tri_v: np.ndarray) -> ClusterAccel:
 def block_cluster_mask(o, d, t_max, cl_lo, cl_hi, block):
     """Conservative (n_blocks, n_clusters) visibility mask, vectorised.
 
-    Interval-arithmetic slab test between each ray block's bounds
-    (origin box, direction box, tmax upper bound) and each cluster AABB.
-    Axes whose direction interval spans zero give no constraint.
+    Interval-arithmetic slab test between each ray block's bounds and each
+    cluster AABB; axes whose direction interval spans zero give no
+    constraint.
     """
     nb = o.shape[0] // block
     ob = o.reshape(nb, block, 3)
     db = d.reshape(nb, block, 3)
-    o_lo = ob.min(axis=1)  # (nb, 3)
+    o_lo = ob.min(axis=1)
     o_hi = ob.max(axis=1)
     d_lo = db.min(axis=1)
     d_hi = db.max(axis=1)
-    tmax_ub = t_max.reshape(nb, block).max(axis=1)  # (nb,)
+    tmax_ub = t_max.reshape(nb, block).max(axis=1)
 
-    spans0 = (d_lo <= 0.0) & (d_hi >= 0.0)  # (nb, 3)
+    spans0 = (d_lo <= 0.0) & (d_hi >= 0.0)
     il = 1.0 / jnp.where(spans0, 1.0, d_hi)
     ih = 1.0 / jnp.where(spans0, 1.0, d_lo)
 
-    # (nb, 1, 3) vs (1, nc, 3)
     a_lo = cl_lo[None] - o_hi[:, None]
     a_hi = cl_lo[None] - o_lo[:, None]
     b_lo = cl_hi[None] - o_hi[:, None]
@@ -123,10 +129,10 @@ def block_cluster_mask(o, d, t_max, cl_lo, cl_hi, block):
             b_lo * il[:, None], b_lo * ih[:, None],
             b_hi * il[:, None], b_hi * ih[:, None],
         ]
-    )  # (8, nb, nc, 3)
+    )
     t_lo = jnp.where(spans0[:, None], -INF, cands.min(axis=0))
     t_hi = jnp.where(spans0[:, None], INF, cands.max(axis=0))
-    enter_lb = t_lo.max(axis=-1)  # (nb, nc)
+    enter_lb = t_lo.max(axis=-1)
     exit_ub = t_hi.min(axis=-1)
     return (
         (enter_lb <= exit_ub)
@@ -136,89 +142,81 @@ def block_cluster_mask(o, d, t_max, cl_lo, cl_hi, block):
 
 
 def _kernel(
-    mask_ref,  # (1, n_clusters) int32 — this block's cluster visibility
-    o_ref,
-    d_ref,
-    tmin_ref,
-    tmax_ref,
-    shear_ref,  # (R, 8): perm0..2 (f32), sx, sy, sz, pad, pad
-    v0_ref,
-    v1_ref,
-    v2_ref,
-    t_out,
-    idx_out,
+    mask_ref,  # (n_blocks, n_clusters) int32, scalar-prefetched to SMEM
+    ray_ref,  # (8, R): ox oy oz dx dy dz tmin tmax
+    sel_ref,  # (5, R): onehot-free per-ray selection data (see below)
+    planes_ref,  # (13, n_clusters, CLUSTER)
+    t_out,  # (1, R)
+    idx_out,  # (1, R) int32
     u_out,
     v_out,
     *,
     n_clusters,
 ):
-    r = o_ref.shape[0]
-    o = o_ref[:]
-    d = d_ref[:]
-    t_min = tmin_ref[:]
-    perm0 = shear_ref[:, 0:1]
-    perm1 = shear_ref[:, 1:2]
-    perm2 = shear_ref[:, 2:3]
-    sx = shear_ref[:, 3:4]
-    sy = shear_ref[:, 4:5]
+    blk = pl.program_id(0)
+    ox = ray_ref[0, :][None, :]  # (1, R)
+    oy = ray_ref[1, :][None, :]
+    oz = ray_ref[2, :][None, :]
+    dx = ray_ref[3, :][None, :]
+    dy = ray_ref[4, :][None, :]
+    dz = ray_ref[5, :][None, :]
+    t_min = ray_ref[6, :][None, :]
+    perm0 = sel_ref[0, :][None, :]
+    perm1 = sel_ref[1, :][None, :]
+    perm2 = sel_ref[2, :][None, :]
+    sx = sel_ref[3, :][None, :]
+    sy = sel_ref[4, :][None, :]
 
-    def sel_ray(vec, axis):
-        return jnp.where(
-            axis == 0.0,
-            vec[:, 0:1],
-            jnp.where(axis == 1.0, vec[:, 1:2], vec[:, 2:3]),
-        )
+    def sel(x, y, z, axis):  # components (1,R), axis (1,R) -> (1,R)
+        return jnp.where(axis == 0.0, x, jnp.where(axis == 1.0, y, z))
 
-    o_a = sel_ray(o, perm0)
-    o_b = sel_ray(o, perm1)
-    o_c = sel_ray(o, perm2)
+    o_a = sel(ox, oy, oz, perm0)
+    o_b = sel(ox, oy, oz, perm1)
+    o_c = sel(ox, oy, oz, perm2)
 
-    t_out[:] = tmax_ref[:]
-    idx_out[:] = jnp.full((r, 1), -1, jnp.int32)
-    u_out[:] = jnp.zeros((r, 1), jnp.float32)
-    v_out[:] = jnp.zeros((r, 1), jnp.float32)
+    t_out[:] = ray_ref[7, :][None, :]
+    idx_out[:] = jnp.full(t_out.shape, -1, jnp.int32)
+    u_out[:] = jnp.zeros(t_out.shape, jnp.float32)
+    v_out[:] = jnp.zeros(t_out.shape, jnp.float32)
+
+    r = ox.shape[1]
 
     def cluster_body(c, _):
-        @pl.when(mask_ref[0, c] != 0)
+        @pl.when(mask_ref[blk, c] != 0)
         def _():
-            base = c * CLUSTER
-            v0 = v0_ref[pl.ds(base, CLUSTER), :]
-            v1 = v1_ref[pl.ds(base, CLUSTER), :]
-            v2 = v2_ref[pl.ds(base, CLUSTER), :]
-            n = jnp.cross(v1 - v0, v2 - v0)
+            # triangle planes for this cluster: (CLUSTER,) rows -> (C, 1)
+            pcl = planes_ref[:, c, :]  # (13, CLUSTER)
+            v0x = pcl[0, :][:, None]  # (C, 1)
+            v0y = pcl[1, :][:, None]
+            v0z = pcl[2, :][:, None]
+            v1x = pcl[3, :][:, None]
+            v1y = pcl[4, :][:, None]
+            v1z = pcl[5, :][:, None]
+            v2x = pcl[6, :][:, None]
+            v2y = pcl[7, :][:, None]
+            v2z = pcl[8, :][:, None]
+            nx = pcl[9, :][:, None]
+            ny = pcl[10, :][:, None]
+            nz = pcl[11, :][:, None]
+            v0n = pcl[12, :][:, None]
 
-            d_dot_n = (
-                d[:, 0:1] * n[None, :, 0]
-                + d[:, 1:2] * n[None, :, 1]
-                + d[:, 2:3] * n[None, :, 2]
-            )
-            o_dot_n = (
-                o[:, 0:1] * n[None, :, 0]
-                + o[:, 1:2] * n[None, :, 1]
-                + o[:, 2:3] * n[None, :, 2]
-            )
-            v0n = jnp.sum(v0 * n, axis=-1)
-            t = (v0n[None, :] - o_dot_n) / d_dot_n
+            # (C, R) tiles from here on
+            d_dot_n = dx * nx + dy * ny + dz * nz
+            o_dot_n = ox * nx + oy * ny + oz * nz
+            t = (v0n - o_dot_n) / d_dot_n
 
-            t_best = t_out[:]
+            t_best = t_out[0, :][None, :]  # (1, R)
             in_range = (t > t_min) & (t < t_best)
 
-            def sel_tri(vc, axis):
-                return jnp.where(
-                    axis == 0.0,
-                    vc[None, :, 0],
-                    jnp.where(axis == 1.0, vc[None, :, 1], vc[None, :, 2]),
-                )
-
-            def corner_xy(vc):
-                ca = sel_tri(vc, perm0) - o_a
-                cb = sel_tri(vc, perm1) - o_b
-                cc = sel_tri(vc, perm2) - o_c
+            def corner_xy(vx, vy, vz):
+                ca = sel(vx, vy, vz, perm0) - o_a
+                cb = sel(vx, vy, vz, perm1) - o_b
+                cc = sel(vx, vy, vz, perm2) - o_c
                 return ca + cc * sx, cb + cc * sy
 
-            p0x, p0y = corner_xy(v0)
-            p1x, p1y = corner_xy(v1)
-            p2x, p2y = corner_xy(v2)
+            p0x, p0y = corner_xy(v0x, v0y, v0z)
+            p1x, p1y = corner_xy(v1x, v1y, v1z)
+            p2x, p2y = corner_xy(v2x, v2y, v2z)
 
             def edge(ax, ay, bx, by):
                 pa = ax * by
@@ -238,34 +236,42 @@ def _kernel(
                 & (jnp.abs(e0) + jnp.abs(e1) + jnp.abs(e2) != 0.0)
             )
 
-            # reduction-based argmin/select (per-lane gathers don't lower)
+            # reduction argmin over the C (sublane) axis
             t_hit = jnp.where(hit, t, INF)
-            t_sel = jnp.min(t_hit, axis=-1, keepdims=True)
-            cols = jax.lax.broadcasted_iota(jnp.int32, (r, CLUSTER), 1)
+            t_sel = jnp.min(t_hit, axis=0, keepdims=True)  # (1, R)
+            rows = jax.lax.broadcasted_iota(jnp.int32, t_hit.shape, 0)
             best = jnp.min(
-                jnp.where(t_hit == t_sel, cols, jnp.int32(CLUSTER + 1)),
-                axis=-1,
+                jnp.where(t_hit == t_sel, rows, jnp.int32(CLUSTER + 1)),
+                axis=0,
                 keepdims=True,
             )
-            onehot = (cols == best) & (t_hit == t_sel)
-            esum = jnp.sum(jnp.where(onehot, e0 + e1 + e2, 0.0), -1, keepdims=True)
-            e0s = jnp.sum(jnp.where(onehot, e0, 0.0), -1, keepdims=True)
-            e1s = jnp.sum(jnp.where(onehot, e1, 0.0), -1, keepdims=True)
+            onehot = (rows == best) & (t_hit == t_sel)
+            esum = jnp.sum(jnp.where(onehot, e0 + e1 + e2, 0.0), 0, keepdims=True)
+            e0s = jnp.sum(jnp.where(onehot, e0, 0.0), 0, keepdims=True)
+            e1s = jnp.sum(jnp.where(onehot, e1, 0.0), 0, keepdims=True)
             better = t_sel < t_best
             inv_det = 1.0 / jnp.where(esum == 0.0, 1.0, esum)
             t_out[:] = jnp.where(better, t_sel, t_best)
             idx_out[:] = jnp.where(
-                better, (base + best).astype(jnp.int32), idx_out[:]
+                better,
+                c * CLUSTER + best,
+                idx_out[0, :][None, :],
             )
-            u_out[:] = jnp.where(better, e0s * inv_det, u_out[:])
-            v_out[:] = jnp.where(better, e1s * inv_det, v_out[:])
+            u_out[:] = jnp.where(better, e0s * inv_det, u_out[0, :][None, :])
+            v_out[:] = jnp.where(better, e1s * inv_det, v_out[0, :][None, :])
 
     jax.lax.fori_loop(0, n_clusters, cluster_body, None)
 
 
 def intersect_clusters(o, d, t_min, t_max, accel: ClusterAccel,
-                       block=512, interpret=False):
-    """Nearest-hit over the clustered scene.  Returns a Hit (original ids)."""
+                       block=512, interpret=None):
+    """Nearest-hit over the clustered scene.  Returns a Hit (original ids).
+
+    interpret=None auto-selects: Mosaic on TPU backends, interpreter
+    elsewhere (the CPU test mesh), so the same call site works everywhere.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     n = o.shape[0]
     pad = (-n) % block
     if pad:
@@ -274,64 +280,53 @@ def intersect_clusters(o, d, t_min, t_max, accel: ClusterAccel,
         t_min = jnp.concatenate([t_min, jnp.zeros(pad)])
         t_max = jnp.concatenate([t_max, jnp.zeros(pad)])
     shear = ray_shear(d)
-    shear_pack = jnp.concatenate(
+
+    rays = jnp.stack(
+        [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2], t_min, t_max]
+    )  # (8, N)
+    sel = jnp.stack(
         [
-            shear.perm.astype(jnp.float32),
-            shear.sx[:, None],
-            shear.sy[:, None],
-            shear.sz[:, None],
-            jnp.zeros((n + pad, 2), jnp.float32),
-        ],
-        axis=-1,
-    )  # (N, 8)
+            shear.perm[:, 0].astype(jnp.float32),
+            shear.perm[:, 1].astype(jnp.float32),
+            shear.perm[:, 2].astype(jnp.float32),
+            shear.sx,
+            shear.sy,
+        ]
+    )  # (5, N)
 
     mask = block_cluster_mask(
         o, d, t_max, accel.cl_lo, accel.cl_hi, block
-    ).astype(jnp.int32)  # (nb, nc)
+    ).astype(jnp.int32)
 
     grid = ((n + pad) // block,)
-    blk = lambda w: pl.BlockSpec((block, w), lambda i: (i, 0),
-                                 memory_space=pltpu.VMEM)
-    full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
-                                  memory_space=pltpu.VMEM)
-    mask_spec = pl.BlockSpec((1, accel.n_clusters), lambda i: (i, 0),
-                             memory_space=pltpu.SMEM)
+    row_blk = lambda h: pl.BlockSpec((h, block), lambda i, m: (0, i),
+                                     memory_space=pltpu.VMEM)
+    out_blk = pl.BlockSpec((1, block), lambda i, m: (0, i),
+                           memory_space=pltpu.VMEM)
 
     t, idx, u, v = pl.pallas_call(
         functools.partial(_kernel, n_clusters=accel.n_clusters),
-        grid=grid,
-        in_specs=[
-            mask_spec,
-            blk(3),
-            blk(3),
-            blk(1),
-            blk(1),
-            blk(8),
-            full(accel.tri_v0),
-            full(accel.tri_v1),
-            full(accel.tri_v2),
-        ],
-        out_specs=[blk(1), blk(1), blk(1), blk(1)],
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,  # the (n_blocks, n_clusters) mask -> SMEM
+            grid=grid,
+            in_specs=[
+                row_blk(8),
+                row_blk(5),
+                pl.BlockSpec(accel.planes.shape, lambda i, m: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[out_blk, out_blk, out_blk, out_blk],
+        ),
         out_shape=[
-            jax.ShapeDtypeStruct((n + pad, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n + pad, 1), jnp.int32),
-            jax.ShapeDtypeStruct((n + pad, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n + pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, n + pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, n + pad), jnp.int32),
+            jax.ShapeDtypeStruct((1, n + pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, n + pad), jnp.float32),
         ],
         interpret=interpret,
-    )(
-        mask,
-        o,
-        d,
-        t_min[:, None],
-        t_max[:, None],
-        shear_pack,
-        accel.tri_v0,
-        accel.tri_v1,
-        accel.tri_v2,
-    )
-    t = t[:n, 0]
-    idx = idx[:n, 0]
+    )(mask, rays, sel, accel.planes)
+    t = t[0, :n]
+    idx = idx[0, :n]
     tri = jnp.where(idx >= 0, accel.order[jnp.maximum(idx, 0)], -1)
     t = jnp.where(tri >= 0, t, INF)
-    return Hit(t=t, tri=tri, u=u[:n, 0], v=v[:n, 0])
+    return Hit(t=t, tri=tri, u=u[0, :n], v=v[0, :n])

@@ -66,6 +66,8 @@ def resolve_params(session_json: dict, overrides: dict) -> RenderParams:
         "bounces": "bounces",
         "filterWidth": "filter_width",
         "rougheningFactor": "roughening_factor",
+        # TPU-native extension key (not part of the reference schema)
+        "accel": "accel",
     }
     vals = {}
     for jkey, field_name in keys.items():

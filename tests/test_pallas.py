@@ -1,0 +1,114 @@
+"""Pallas cluster-traversal kernel vs the brute-force oracle.
+
+Runs in interpret mode on the CPU test mesh (the same kernel lowers to
+Mosaic on TPU; interpret mode executes identical semantics), validating the
+lane-aligned watertight test, the conservative block-cluster culling mask,
+and the reduction argmin hit selection against geometry.intersect_brute.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from nart_tpu.geometry import intersect_brute
+from nart_tpu.pallas_accel import (
+    CLUSTER,
+    block_cluster_mask,
+    build_clusters,
+    intersect_clusters,
+)
+
+
+def _random_tris(n, rng, spread=3.0, size=0.5):
+    tri = rng.normal(size=(n, 3, 3)).astype(np.float32) * size
+    tri += rng.normal(size=(n, 1, 3)).astype(np.float32) * spread
+    return tri
+
+
+def _random_rays(n, rng, spread=4.0):
+    o = rng.normal(size=(n, 3)).astype(np.float32) * spread
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return o, d
+
+
+@pytest.mark.parametrize("n_tris", [5, 200, 700])
+def test_intersect_clusters_matches_brute(n_tris):
+    rng = np.random.default_rng(n_tris)
+    tri_v = _random_tris(n_tris, rng)
+    acc = build_clusters(tri_v)
+    n = 640
+    o, d = _random_rays(n, rng)
+    t_min = np.full(n, 1e-4, np.float32)
+    t_max = np.full(n, np.inf, np.float32)
+
+    hp = intersect_clusters(
+        jnp.asarray(o), jnp.asarray(d), jnp.asarray(t_min),
+        jnp.asarray(t_max), acc, block=256, interpret=True,
+    )
+    hb = intersect_brute(
+        jnp.asarray(o), jnp.asarray(d), jnp.asarray(t_min),
+        jnp.asarray(t_max), jnp.asarray(tri_v),
+    )
+    trip, trib = np.asarray(hp.tri), np.asarray(hb.tri)
+    tp, tb = np.asarray(hp.t), np.asarray(hb.t)
+    assert (trip >= 0).sum() == (trib >= 0).sum()
+    assert (trip == trib).all()
+    hit = trib >= 0
+    np.testing.assert_allclose(tp[hit], tb[hit], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(hp.u)[hit], np.asarray(hb.u)[hit], rtol=1e-3, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(hp.v)[hit], np.asarray(hb.v)[hit], rtol=1e-3, atol=1e-4
+    )
+
+
+def test_finite_tmax_respected():
+    rng = np.random.default_rng(7)
+    tri_v = _random_tris(300, rng)
+    acc = build_clusters(tri_v)
+    n = 256
+    o, d = _random_rays(n, rng)
+    t_min = np.full(n, 1e-4, np.float32)
+    far = intersect_clusters(
+        jnp.asarray(o), jnp.asarray(d), jnp.asarray(t_min),
+        jnp.full(n, np.inf, np.float32), acc, block=256, interpret=True,
+    )
+    # clamp each ray's tmax just below its own nearest hit -> all miss
+    t_far = np.asarray(far.t)
+    t_clip = np.where(np.isfinite(t_far), t_far * 0.99, 1e-3).astype(np.float32)
+    near = intersect_clusters(
+        jnp.asarray(o), jnp.asarray(d), jnp.asarray(t_min),
+        jnp.asarray(t_clip), acc, block=256, interpret=True,
+    )
+    assert (np.asarray(near.tri) == -1).all()
+
+
+def test_block_mask_is_conservative():
+    """Every actual hit's cluster must be visible in its ray's block mask."""
+    rng = np.random.default_rng(3)
+    tri_v = _random_tris(500, rng)
+    acc = build_clusters(tri_v)
+    n, block = 512, 128
+    o, d = _random_rays(n, rng)
+    t_min = np.full(n, 1e-4, np.float32)
+    t_max = np.full(n, np.inf, np.float32)
+    mask = np.asarray(
+        block_cluster_mask(
+            jnp.asarray(o), jnp.asarray(d), jnp.asarray(t_max),
+            acc.cl_lo, acc.cl_hi, block,
+        )
+    )
+    hb = intersect_brute(
+        jnp.asarray(o), jnp.asarray(d), jnp.asarray(t_min),
+        jnp.asarray(t_max), jnp.asarray(tri_v),
+    )
+    # map original tri id -> cluster index in morton order
+    order = np.asarray(acc.order)
+    pos_of_tri = np.full(order.max() + 2, -1, np.int64)
+    pos_of_tri[order[order >= 0]] = np.nonzero(order >= 0)[0]
+    tri = np.asarray(hb.tri)
+    for i in np.nonzero(tri >= 0)[0]:
+        cl = pos_of_tri[tri[i]] // CLUSTER
+        assert mask[i // block, cl], (i, tri[i], cl)
