@@ -11,6 +11,7 @@ plus TPU-native extras:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -39,12 +40,24 @@ def build_parser():
         help="intersector: lockstep LBVH walk, streaming brute force, "
         "or the Pallas cluster-culling kernel (TPU fast path)",
     )
+    p.add_argument(
+        "--platform",
+        type=str,
+        default=None,
+        help="force a jax platform (e.g. cpu); overrides NART_PLATFORM. "
+        "Needed because this environment's site hook pins JAX_PLATFORMS.",
+    )
     p.add_argument("--help", action="help")
     return p
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    platform = args.platform or os.environ.get("NART_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
     overrides = {
         k: getattr(args, k)
         for k in (
