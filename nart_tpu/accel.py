@@ -114,6 +114,25 @@ def build_bvh(tri_v: np.ndarray, leaf_size: int = 8) -> BVH:
     )
 
 
+def resolve_accel_kind(kind: str) -> str:
+    """'auto' -> the Pallas cluster kernel on TPU (measured ~4.5x over the
+    streaming brute scan and ~450x over this module's lockstep walk there),
+    the lockstep LBVH walk elsewhere."""
+    if kind != "auto":
+        return kind
+    return "pallas" if jax.default_backend() == "tpu" else "bvh"
+
+
+def build_accel(tri_v: np.ndarray, kind: str, leaf_size: int = 8):
+    """Build the acceleration structure matching a (resolved) accel kind."""
+    kind = resolve_accel_kind(kind)
+    if kind == "pallas":
+        from .pallas_accel import build_clusters
+
+        return build_clusters(np.asarray(tri_v))
+    return build_bvh(np.asarray(tri_v), leaf_size=leaf_size)
+
+
 def _slab_test(o, inv_d, t_min, t_max, lo, hi):
     """Ray-AABB slab test.  Returns (hit, t_entry)."""
     t0 = (lo - o) * inv_d

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import camera, film, rng, sampling
-from .accel import build_bvh
+from .accel import build_accel
 from .integrators import path as path_integrator
 from .scene import SceneData
 
@@ -99,7 +99,11 @@ def loss_and_grad(scene, params, width, height, spp, loss_fn, leaf_size=8):
 
     Returns (loss, grads_dict).
     """
-    bvh = build_bvh(np.asarray(scene.tri_v), leaf_size=leaf_size)
+    bvh = build_accel(
+        np.asarray(scene.tri_v),
+        getattr(params, "accel", "auto"),
+        leaf_size=leaf_size,
+    )
     scene = jax.tree_util.tree_map(jnp.asarray, scene)
     theta0 = get_params(scene)
 

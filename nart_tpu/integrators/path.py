@@ -220,7 +220,9 @@ def trace(scene, bvh: BVH, o, d, state, params, differentiable=False):
     tri_mesh = jnp.asarray(scene.tri_mesh)
     mesh_priority = jnp.asarray(scene.mesh_priority)
 
-    accel_kind = getattr(params, "accel", "bvh")
+    from ..accel import resolve_accel_kind
+
+    accel_kind = resolve_accel_kind(getattr(params, "accel", "bvh"))
     if accel_kind == "pallas":
         from ..pallas_accel import ClusterAccel, intersect_clusters
 

@@ -21,7 +21,14 @@ from typing import NamedTuple
 import jax.numpy as jnp
 import numpy as np
 
-from .scene import LIGHT_DISK, LIGHT_ENV, LIGHT_RING, Env2D, LightData
+from .scene import (
+    LIGHT_DISK,
+    LIGHT_DISTANT,
+    LIGHT_ENV,
+    LIGHT_RING,
+    Env2D,
+    LightData,
+)
 from .sampling import uniform_sample_disk, uniform_sample_ring
 
 PI = np.float32(np.pi)
@@ -268,6 +275,44 @@ def _env_sample(light: LightData, p, u2):
 
 
 # ---------------------------------------------------------------------------
+# Distant light (delta directional)
+# ---------------------------------------------------------------------------
+# Parity: src/lights/distantlight.cpp — defined in the reference but never
+# constructible from JSON (scene.cpp:894-923); exposed here as an extension.
+
+
+def _distant_eval(light: LightData, p, wi):
+    """Li: a delta light is never hit by a ray (distantlight.cpp:11-15)."""
+    shape = wi.shape[:-1]
+    return LightEval(
+        le=jnp.zeros(shape + (3,)),
+        pdf=jnp.zeros(shape),
+        t=jnp.full(shape, np.float32(np.inf)),
+    )
+
+
+def _distant_sample(light: LightData, p, u2):
+    """Sample_Li: wi = -direction, pdf = 1 (distantlight.cpp:17-23).
+
+    direction = (0,0,-1,0) * LightToWorld, same row-vector convention as
+    the disk/ring normal.
+    """
+    xf = jnp.asarray(light.xf)
+    direction = _xform_dir(xf, jnp.asarray([0.0, 0.0, -1.0], jnp.float32))
+    shape = u2.shape[:-1]
+    wi = jnp.broadcast_to(-direction, shape + (3,))
+    pdf = jnp.ones(shape)
+    le = jnp.broadcast_to(
+        jnp.asarray(light.le_const) * np.float32(light.intensity),
+        shape + (3,),
+    )
+    # shadow ray range: the reference leaves lightIsect.tMax at Infinity
+    t = jnp.full(shape, np.float32(np.inf))
+    st = jnp.zeros(shape + (2,))
+    return le, wi, pdf, t, st
+
+
+# ---------------------------------------------------------------------------
 # Public dispatch (static per light)
 # ---------------------------------------------------------------------------
 
@@ -280,6 +325,8 @@ def light_eval(light: LightData, p, wi) -> LightEval:
         return _disk_like_eval(light, p, wi, is_ring=True)
     if light.kind == LIGHT_ENV:
         return _env_eval(light, p, wi)
+    if light.kind == LIGHT_DISTANT:
+        return _distant_eval(light, p, wi)
     raise ValueError(f"unknown light kind {light.kind}")
 
 
@@ -291,4 +338,6 @@ def light_sample(light: LightData, p, u2):
         return _disk_like_sample(light, p, u2, is_ring=True)
     if light.kind == LIGHT_ENV:
         return _env_sample(light, p, u2)
+    if light.kind == LIGHT_DISTANT:
+        return _distant_sample(light, p, u2)
     raise ValueError(f"unknown light kind {light.kind}")

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import camera, exr, film, rng, sampling
-from .accel import build_bvh
+from .accel import build_accel, build_bvh, resolve_accel_kind
 from .integrators import path as path_integrator
 from .scene import SceneData, load_scene
 
@@ -45,7 +45,11 @@ class RenderParams:
     filter_width: float = 1.0
     roughening_factor: float = 0.0
     # TPU-native extras (not part of the reference's JSON schema)
-    accel: str = "bvh"  # "bvh" | "brute" | "pallas"
+    # "auto" resolves per backend: the Pallas cluster kernel on TPU
+    # (measured ~4.5x over the streaming brute scan and ~450x over the
+    # lockstep BVH walk, whose long gather-bound executions can even trip
+    # the TPU watchdog), the lockstep LBVH walk on CPU.
+    accel: str = "auto"  # "auto" | "bvh" | "brute" | "pallas"
     # MIS strategy toggles (reference compile-time BSDF_SAMPLING /
     # LIGHT_SAMPLING, pathintegrator.cpp:3-4); both on by default
     mis_bsdf: bool = True
@@ -53,6 +57,9 @@ class RenderParams:
 
 
 _DEFAULTS = RenderParams()
+
+
+resolve_accel = resolve_accel_kind  # re-export (accel.py owns the policy)
 
 
 def resolve_params(session_json: dict, overrides: dict) -> RenderParams:
@@ -109,12 +116,13 @@ class RenderSession:
         nby = -(-params.image_height // params.bucket_size)
         self.render_w = min(nbx * params.bucket_size, self.total_w)
         self.render_h = min(nby * params.bucket_size, self.total_h)
-        if params.accel == "pallas":
-            from .pallas_accel import build_clusters
-
-            self.bvh = build_clusters(np.asarray(scene.tri_v))
-        else:
-            self.bvh = build_bvh(np.asarray(scene.tri_v), leaf_size=leaf_size)
+        params = dataclasses.replace(
+            params, accel=resolve_accel_kind(params.accel)
+        )
+        self.params = params
+        self.bvh = build_accel(
+            np.asarray(scene.tri_v), params.accel, leaf_size=leaf_size
+        )
 
     def render(
         self,

@@ -52,7 +52,7 @@ _MAT_CODES = {
 }
 
 # light type codes
-LIGHT_DISK, LIGHT_RING, LIGHT_ENV = 0, 1, 2
+LIGHT_DISK, LIGHT_RING, LIGHT_ENV, LIGHT_DISTANT = 0, 1, 2, 3
 
 
 @pytree_dataclass(meta_fields=("width", "height"))
@@ -413,8 +413,11 @@ def load_scene(scene_path: str, asset_root: Optional[str] = None) -> SceneData:
     lights = []
     for ld in doc.get("lights", []):
         ltype = ld.get("type")
-        if ltype not in ("disk", "ring", "environment"):
-            continue  # parity: unknown/"distant" types silently skipped
+        if ltype not in ("disk", "ring", "environment", "distant"):
+            continue  # parity: unknown types silently skipped
+        # "distant" is an extension: the reference defines DistantLight
+        # (src/lights/distantlight.cpp) but its loader never constructs it
+        # (scene.cpp:894-923 handles only disk/ring/environment)
         xf = _mat4(ld.get("transform", _IDENTITY))
         le_node = ld["Le"]
         le_tex_img = None
@@ -428,9 +431,12 @@ def load_scene(scene_path: str, asset_root: Optional[str] = None) -> SceneData:
             le_const = np.zeros(3, np.float32)
         else:
             le_const, _ = _get_pattern(packer, le_node, clamp=True)
-        kind = {"disk": LIGHT_DISK, "ring": LIGHT_RING, "environment": LIGHT_ENV}[
-            ltype
-        ]
+        kind = {
+            "disk": LIGHT_DISK,
+            "ring": LIGHT_RING,
+            "environment": LIGHT_ENV,
+            "distant": LIGHT_DISTANT,
+        }[ltype]
         lights.append(
             LightData(
                 kind=kind,

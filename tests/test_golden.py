@@ -1,0 +1,89 @@
+"""Golden-image tests against the actual reference renderer's output.
+
+The fixtures in tests/golden/ were rendered by the reference binary
+(built via tools/refbuild) at the given size/spp.  Per-pixel equality
+cannot hold — fp ordering differences send chaotic (glass/caustic) paths
+to different outcomes — so the comparison is statistical:
+
+  * global image mean within a few percent (the Monte Carlo estimate of
+    total flux agrees),
+  * block means (16x16) mostly within a noise-scaled tolerance
+    (structure agrees, not just the total).
+
+veach.json (MIS, diffuse+glossy, fast) runs in the default suite;
+glassSphere.json (nested dielectrics + caustics, slow) is opt-in via
+NART_SLOW_TESTS=1.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+REF_SCENES = "/root/reference/input/scenes"
+
+
+def _render(scene_name, w, h, spp):
+    from nart_tpu import film as film_mod
+    from nart_tpu import render as render_mod
+    from nart_tpu.scene import load_scene
+
+    import jax.numpy as jnp
+
+    scene = load_scene(
+        os.path.join(REF_SCENES, scene_name), asset_root="/root/reference"
+    )
+    params = render_mod.resolve_params(
+        {}, dict(image_width=w, image_height=h, spp=spp)
+    )
+    sess = render_mod.RenderSession(scene, params)
+    return sess.image()
+
+
+def _compare(ours, golden_path, mean_tol, block_tol, block_frac):
+    from nart_tpu import exr
+
+    ref = exr.read(golden_path)
+    assert ref.shape == ours.shape
+    r = ref[..., :3]
+    o = ours[..., :3]
+    mean_rel = abs(o.mean() - r.mean()) / max(r.mean(), 1e-6)
+    assert mean_rel < mean_tol, f"image mean off by {mean_rel:.3f}"
+
+    bh, bw = 16, 16
+    h, w = r.shape[:2]
+    rb = r[: h - h % bh, : w - w % bw].reshape(h // bh, bh, w // bw, bw, 3)
+    ob = o[: h - h % bh, : w - w % bw].reshape(h // bh, bh, w // bw, bw, 3)
+    rm = rb.mean((1, 3, 4))
+    om = ob.mean((1, 3, 4))
+    rel = np.abs(om - rm) / np.maximum(rm, 0.05)
+    frac_ok = (rel < block_tol).mean()
+    assert frac_ok >= block_frac, (
+        f"only {frac_ok:.2f} of blocks within {block_tol}: worst {rel.max():.3f}"
+    )
+
+
+def test_veach_golden():
+    ours = _render("veach.json", 128, 128, 16)
+    _compare(
+        ours,
+        os.path.join(GOLDEN, "veach_128x128_16spp.exr"),
+        mean_tol=0.03,
+        block_tol=0.15,
+        block_frac=0.9,
+    )
+
+
+@pytest.mark.skipif(
+    not os.environ.get("NART_SLOW_TESTS"), reason="slow: NART_SLOW_TESTS=1"
+)
+def test_glasssphere_golden():
+    ours = _render("glassSphere.json", 128, 128, 16)
+    _compare(
+        ours,
+        os.path.join(GOLDEN, "glassSphere_128x128_16spp.exr"),
+        mean_tol=0.05,
+        block_tol=0.35,
+        block_frac=0.75,
+    )

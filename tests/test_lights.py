@@ -121,3 +121,45 @@ def test_env2d_pdf_integrates_to_one():
     st = jnp.asarray(np.stack([u.ravel(), v.ravel()], -1).astype(np.float32))
     pdf = np.asarray(lights.env2d_pdf(dist2d, st))
     assert abs(pdf.mean() - 1.0) < 1e-3
+
+
+def test_distant_light():
+    # extension: reference defines DistantLight (distantlight.cpp) but its
+    # loader can't construct it; ours can (kind=LIGHT_DISTANT)
+    xf = np.eye(4, dtype=np.float32)  # direction = (0,0,-1): wi = (0,0,1)
+    li = scene_mod.LightData(
+        kind=scene_mod.LIGHT_DISTANT, xf=xf, radius=0.0, inner_radius=0.0,
+        intensity=3.0, le_const=np.array([1.0, 0.5, 0.25], np.float32),
+        le_tex=None, env2d=None,
+    )
+    p = jnp.zeros((16, 3))
+    le, wi, pdf, dist, st = lights.light_sample(li, p, _u2(16))
+    np.testing.assert_allclose(np.asarray(wi), [[0, 0, 1]] * 16, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(pdf), 1.0)
+    np.testing.assert_allclose(np.asarray(le), [[3.0, 1.5, 0.75]] * 16)
+    assert np.isinf(np.asarray(dist)).all()
+    # Li along any ray is zero with pdf 0 (delta light, distantlight.cpp:11-15)
+    ev = lights.light_eval(li, p, wi)
+    assert (np.asarray(ev.pdf) == 0).all() and (np.asarray(ev.le) == 0).all()
+
+
+def test_distant_light_loads_from_json():
+    import json as _json
+    import tempfile, os
+    doc = {
+        "camera": {"fov": 45.0,
+                   "transform": [float(x) for x in np.eye(4).flatten()]},
+        "meshes": [],
+        "lights": [
+            {"type": "distant", "Le": [1.0, 1.0, 1.0], "intensity": 2.0,
+             "transform": [float(x) for x in np.eye(4).flatten()]}
+        ],
+        "renderSessions": [],
+    }
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "s.json")
+        with open(path, "w") as f:
+            _json.dump(doc, f)
+        scn = scene_mod.load_scene(path)
+    assert len(scn.lights) == 1
+    assert scn.lights[0].kind == scene_mod.LIGHT_DISTANT
