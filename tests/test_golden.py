@@ -64,6 +64,27 @@ def _compare(ours, golden_path, mean_tol, block_tol, block_frac):
     )
 
 
+def test_volume_golden():
+    """Volume integrator vs the reference on the generated blob volume
+    (tools/gen_volume_golden.py; the reference's own hand.vol is a stripped
+    large blob)."""
+    from nart_tpu import render as render_mod
+    from nart_tpu.scene import load_scene
+
+    scene_path = os.path.join(GOLDEN, "volume_blob.json")
+    scene = load_scene(scene_path)
+    params = next(iter(render_mod.load_sessions(scene_path)))
+    sess = render_mod.RenderSession(scene, params)
+    ours = sess.image()
+    _compare(
+        ours,
+        os.path.join(GOLDEN, "volume_blob_96x96_32spp.exr"),
+        mean_tol=0.02,
+        block_tol=0.05,
+        block_frac=0.95,
+    )
+
+
 def test_veach_golden():
     ours = _render("veach.json", 128, 128, 16)
     _compare(
