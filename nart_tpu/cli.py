@@ -47,6 +47,20 @@ def build_parser():
         help="force a jax platform (e.g. cpu); overrides NART_PLATFORM. "
         "Needed because this environment's site hook pins JAX_PLATFORMS.",
     )
+    p.add_argument(
+        "--profile",
+        type=str,
+        default=None,
+        metavar="DIR",
+        help="capture a jax.profiler trace of the render into DIR "
+        "(view with tensorboard / xprof)",
+    )
+    p.add_argument(
+        "--timing",
+        action="store_true",
+        help="print per-phase timing (load / accel build / render / write) "
+        "and rays/s to stderr",
+    )
     p.add_argument("--help", action="help")
     return p
 
@@ -77,16 +91,29 @@ def main(argv=None):
     from .scene import load_scene
 
     print(f"Loading {args.scene}...")
+    t_load = time.time()
     scene = load_scene(args.scene, asset_root=args.assetRoot)
+    t_load = time.time() - t_load
+    if args.timing:
+        print(f"# load: {t_load:.3f}s", file=sys.stderr)
     sessions = render_mod.load_sessions(args.scene, overrides)
     if not sessions:
         print(f"Failed to load sessions from {args.scene}", file=sys.stderr)
         return 1
 
+    if args.profile:
+        import jax
+
+        jax.profiler.start_trace(args.profile)
+
     for i, params in enumerate(sessions):
         start = time.time()
         print("Rendering...")
+        t_build = time.time()
         sess = render_mod.RenderSession(scene, params)
+        t_build = time.time() - t_build
+        if args.timing:
+            print(f"# accel build: {t_build:.3f}s", file=sys.stderr)
         if args.devices and args.devices > 1:
             import jax
             import jax.numpy as jnp
@@ -114,9 +141,45 @@ def main(argv=None):
             exr.write(out_path, img)
         else:
             out_path = args.out if len(sessions) == 1 else f"{args.out}_{i}"
-            print(f"Writing to {out_path}.exr...")
-            out_path = sess.write_exr(out_path)
+            if args.timing:
+                import jax.numpy as jnp
+
+                from . import exr, film as film_mod
+
+                t_render = time.time()
+                buf, rays = sess.render(with_stats=True)
+                t_render = time.time() - t_render
+                print(
+                    f"# render: {t_render:.3f}s  rays: {rays:.0f}  "
+                    f"({rays / t_render / 1e6:.3f} Mrays/s)",
+                    file=sys.stderr,
+                )
+                img = np.asarray(
+                    film_mod.finalize(
+                        jnp.asarray(buf),
+                        params.image_width,
+                        params.image_height,
+                        sess.filter_bounds,
+                    )
+                )
+                if not out_path.endswith(".exr"):
+                    out_path += ".exr"
+                print(f"Writing to {out_path}...")
+                t_write = time.time()
+                exr.write(out_path, img)
+                print(
+                    f"# write: {time.time() - t_write:.3f}s", file=sys.stderr
+                )
+            else:
+                print(f"Writing to {out_path}.exr...")
+                out_path = sess.write_exr(out_path)
         print(f"Completed in {time.time() - start:.6g}s")
+
+    if args.profile:
+        import jax
+
+        jax.profiler.stop_trace()
+        print(f"# profiler trace written to {args.profile}", file=sys.stderr)
     return 0
 
 

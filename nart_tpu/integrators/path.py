@@ -36,6 +36,9 @@ from ..materials import make_bsdf
 SHADOW_BIAS = np.float32(0.001)  # pathintegrator.h:36
 INF = np.float32(np.inf)
 STACK_K = 8  # nested-dielectric stack slots per lane
+# parking spot for culled rays: far outside any scene AABB, so the
+# block-cluster interval test / BVH slab test rejects them immediately
+_FAR_POINT = np.asarray([1e8, 1e8, 1e8], np.float32)
 
 
 class IsectList(NamedTuple):
@@ -271,7 +274,13 @@ def trace(scene, bvh: BVH, o, d, state, params, differentiable=False):
         alpha = jnp.where(light_hit, 1.0, p.alpha)
 
         # ---- scene intersect -------------------------------------------
-        hit = isect(p.o, p.d, jnp.zeros((n,)), t_after_lights)
+        # dead lanes are parked far outside the scene with t_max = 0 so the
+        # per-block cluster mask / BVH slab test culls them (an in-scene
+        # origin would keep its block's interval test alive)
+        o_main = jnp.where(p.alive[:, None], p.o, _FAR_POINT)
+        hit = isect(
+            o_main, p.d, jnp.zeros((n,)), jnp.where(p.alive, t_after_lights, 0.0)
+        )
         hit_valid = hit.valid & p.alive
         surf = surface_at(hit, tri_v, tri_n, tri_uv, tri_mesh)
 
@@ -333,15 +342,32 @@ def trace(scene, bvh: BVH, o, d, state, params, differentiable=False):
         light_pdf_B = jax.lax.stop_gradient(light_pdf_B)
         wiB = jax.lax.stop_gradient(bxdf.to_local(frame, wiB_world))
 
-        # one batched shadow traversal for both strategies
+        # one batched shadow traversal for both strategies.  Lanes whose
+        # result cannot contribute (invalid hit, zero bsdf pdf, or a missed /
+        # black light) are culled: parked at _FAR_POINT with t_max = 0 so
+        # whole-dead ray blocks skip the traversal kernel entirely.
+        useA = (
+            m_valid
+            & (pdfA > 0.0)
+            & ((light_pdf_A > 0.0) | jnp.any(liA > 0.0, axis=-1))
+        )
+        useB = m_valid & (light_pdf_B > 0.0)
         oA = surf.p + surf.gn * (SHADOW_BIAS * _flip_sign(wiA[..., 2]))[:, None]
         oB = surf.p + surf.gn * (SHADOW_BIAS * _flip_sign(wiB[..., 2]))[:, None]
-        sh_o = jnp.concatenate([oA, oB], axis=0)
+        sh_o = jnp.concatenate(
+            [
+                jnp.where(useA[:, None], oA, _FAR_POINT),
+                jnp.where(useB[:, None], oB, _FAR_POINT),
+            ],
+            axis=0,
+        )
         sh_d = jnp.concatenate([wiA_world, wiB_world], axis=0)
-        sh_t = jnp.concatenate([tA, tB], axis=0)
+        sh_t = jnp.concatenate(
+            [jnp.where(useA, tA, 0.0), jnp.where(useB, tB, 0.0)], axis=0
+        )
         sh_hit = isect(sh_o, sh_d, jnp.zeros((2 * n,)), sh_t)
         occA = sh_hit.valid[:n]
-        occB = sh_hit.valid[n:]
+        occB = sh_hit.valid[n : 2 * n]
 
         # strategy A contribution (BSDF sampling)
         wA_spec = (dflags & bxdf.SPECULAR) != 0

@@ -138,11 +138,16 @@ def block_cluster_mask(o, d, t_max, cl_lo, cl_hi, block):
         (enter_lb <= exit_ub)
         & (exit_ub >= 0.0)
         & (enter_lb <= tmax_ub[:, None])
+        # a block whose every ray has t_max <= 0 can never record a hit
+        # (in_range needs t_min < t < t_max); this also catches culled
+        # lanes whose direction intervals span zero on every axis
+        & (tmax_ub[:, None] > 0.0)
     )
 
 
 def _kernel(
-    mask_ref,  # (n_blocks, n_clusters) int32, scalar-prefetched to SMEM
+    mask_ref,  # (n_clusters, n_blocks) int32, scalar-prefetched to SMEM
+    # (clusters-major: SMEM pads the minor dim to 128, so blocks must be it)
     ray_ref,  # (8, R): ox oy oz dx dy dz tmin tmax
     sel_ref,  # (5, R): onehot-free per-ray selection data (see below)
     planes_ref,  # (13, n_clusters, CLUSTER)
@@ -182,7 +187,7 @@ def _kernel(
     r = ox.shape[1]
 
     def cluster_body(c, _):
-        @pl.when(mask_ref[blk, c] != 0)
+        @pl.when(mask_ref[c, blk] != 0)
         def _():
             # triangle planes for this cluster: (CLUSTER,) rows -> (C, 1)
             pcl = planes_ref[:, c, :]  # (13, CLUSTER)
@@ -294,9 +299,11 @@ def intersect_clusters(o, d, t_min, t_max, accel: ClusterAccel,
         ]
     )  # (5, N)
 
-    mask = block_cluster_mask(
-        o, d, t_max, accel.cl_lo, accel.cl_hi, block
-    ).astype(jnp.int32)
+    mask = (
+        block_cluster_mask(o, d, t_max, accel.cl_lo, accel.cl_hi, block)
+        .astype(jnp.int32)
+        .T
+    )
 
     grid = ((n + pad) // block,)
     row_blk = lambda h: pl.BlockSpec((h, block), lambda i, m: (0, i),
@@ -307,7 +314,7 @@ def intersect_clusters(o, d, t_min, t_max, accel: ClusterAccel,
     t, idx, u, v = pl.pallas_call(
         functools.partial(_kernel, n_clusters=accel.n_clusters),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,  # the (n_blocks, n_clusters) mask -> SMEM
+            num_scalar_prefetch=1,  # the (n_clusters, n_blocks) mask -> SMEM
             grid=grid,
             in_specs=[
                 row_blk(8),
@@ -316,6 +323,9 @@ def intersect_clusters(o, d, t_min, t_max, accel: ClusterAccel,
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[out_blk, out_blk, out_blk, out_blk],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),  # pipeline ray blocks
         ),
         out_shape=[
             jax.ShapeDtypeStruct((1, n + pad), jnp.float32),

@@ -20,4 +20,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# NART_TEST_PLATFORM: "cpu" (default) runs everything on the virtual
+# 8-device CPU mesh; set to "" to keep the environment's default backend
+# (the real TPU chip) — useful for the NART_SLOW_TESTS golden renders,
+# which are ~100x faster there.
+_plat = os.environ.get("NART_TEST_PLATFORM", "cpu")
+if _plat:
+    jax.config.update("jax_platforms", _plat)

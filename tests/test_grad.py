@@ -35,7 +35,7 @@ def _fd_check(scene, params, field, eps, rtol, component=(0, 0)):
     g_ad = np.asarray(grads[field])[component]
 
     theta = grad_mod.get_params(scene)
-    bvh = grad_mod.build_bvh(np.asarray(scene.tri_v))
+    bvh = grad_mod.build_accel(np.asarray(scene.tri_v), "auto")
 
     scene_j = jax.tree_util.tree_map(jnp.asarray, scene)
 
@@ -77,7 +77,7 @@ def test_light_radiance_gradient_matches_fd():
     )
     g_ad = np.asarray(grads["light_le"][0])
 
-    bvh = grad_mod.build_bvh(np.asarray(scene.tri_v))
+    bvh = grad_mod.build_accel(np.asarray(scene.tri_v), "auto")
     eps = 1e-2
 
     scene_j = jax.tree_util.tree_map(jnp.asarray, scene)
