@@ -88,6 +88,65 @@ def splat(film, coords, l_alpha, filter_width, table):
     return film_flat.reshape(h_tot, w_tot, 5)
 
 
+def splat_grid(
+    film, jitter, l_alpha, filter_width, table, render_w, render_h,
+    filter_bounds,
+):
+    """Dense splat for lanes that form the full row-major pixel grid.
+
+    Mathematically identical to splat() (same tap weights), but instead of a
+    32M-element scatter-add it reshapes the wavefront to an image and does
+    (2*fb+1)^2 statically-shifted dense adds — the scatter was the dominant
+    DMA cost of a render step on TPU.  Lane i is pixel (i % render_w,
+    i // render_w); its sample coord is pixel + filter_bounds + jitter.
+    """
+    fw = np.float32(filter_width)
+    fb = filter_bounds
+    k = 2 * fb + 1  # window: tap j covers pixel+j in total coords
+    n = jitter.shape[0]
+    h_tot, w_tot, _ = film.shape
+
+    jx = jitter[..., 0]
+    jy = jitter[..., 1]
+    # sample position relative to the window origin (= pixel) in total coords
+    sx = np.float32(fb) + jx  # (N,)
+    sy = np.float32(fb) + jy
+    x0 = jnp.floor(sx - fw)
+    y0 = jnp.floor(sy - fw)
+    x1 = jnp.ceil(sx + fw)
+    y1 = jnp.ceil(sy + fw)
+
+    taps = jnp.arange(k, dtype=jnp.float32)
+    tx = taps[None, :]  # (1, K) tap x offset from pixel
+    ty = taps[None, :]
+    mx = (tx >= x0[:, None]) & (tx < x1[:, None])  # (N, K)
+    my = (ty >= y0[:, None]) & (ty < y1[:, None])
+    mask = (mx[:, None, :] & my[:, :, None]).astype(jnp.float32)  # (N, K, K)
+
+    dist_x = tx + 0.5 - sx[:, None]  # (N, K)
+    dist_y = ty + 0.5 - sy[:, None]
+    dist = jnp.sqrt(
+        dist_x[:, None, :] ** 2 + dist_y[:, :, None] ** 2
+    )  # (N, K, K)
+    idx = ((dist / fw) * FILTER_TABLE_RES).astype(jnp.int32) & 0xFF
+    w = table[jnp.minimum(idx, FILTER_TABLE_RES - 1)] * mask
+
+    vals = jnp.concatenate(
+        [l_alpha[:, None, None, :] * w[..., None], w[..., None]], axis=-1
+    )  # (N, K, K, 5)
+    img = vals.reshape(render_h, render_w, k, k, 5)
+
+    # padded accumulator: taps can run off the film edge (the reference
+    # drops them at tile merge, render.cpp:192-193); the crop does the same
+    acc = jnp.zeros((h_tot + k, w_tot + k, 5), film.dtype)
+    for dy in range(k):
+        for dx in range(k):
+            acc = acc.at[dy : dy + render_h, dx : dx + render_w].add(
+                img[:, :, dy, dx]
+            )
+    return film + acc[:h_tot, :w_tot]
+
+
 def finalize(film, image_width, image_height, filter_bounds):
     """Normalise and crop: contribution / filterWeightSum over the image
     window (render.cpp:208-228).  Returns (H, W, 4) RGBA."""

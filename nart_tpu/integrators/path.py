@@ -41,36 +41,50 @@ STACK_K = 8  # nested-dielectric stack slots per lane
 _FAR_POINT = np.asarray([1e8, 1e8, 1e8], np.float32)
 
 
+# The per-lane nested-dielectric table is the largest piece of the bounce
+# loop's while-carry, which round-trips HBM every iteration — so entries are
+# bit-packed: one int32 = (stamp << 22) | (priority << 14) | mesh_id, 0 =
+# empty (stamp starts at 1).  Limits (asserted at trace time via the scene):
+# mesh_id < 2^14, priority < 2^8 (reference uint8), inserts/lane < 2^10.
+_MESH_BITS = 14
+_PRIO_BITS = 8
+_MESH_MASK = (1 << _MESH_BITS) - 1
+_PRIO_MASK = (1 << _PRIO_BITS) - 1
+
+
 class IsectList(NamedTuple):
-    mesh: jnp.ndarray  # (N, K) int32, -1 = empty
-    priority: jnp.ndarray  # (N, K) int32
+    packed: jnp.ndarray  # (N, K) int32, 0 = empty
     eta: jnp.ndarray  # (N, K) float32
-    stamp: jnp.ndarray  # (N, K) int32 insertion order, 0 = empty
     next_stamp: jnp.ndarray  # (N,) int32
 
 
 def isect_list_init(n):
     return IsectList(
-        mesh=jnp.full((n, STACK_K), -1, jnp.int32),
-        priority=jnp.zeros((n, STACK_K), jnp.int32),
+        packed=jnp.zeros((n, STACK_K), jnp.int32),
         eta=jnp.ones((n, STACK_K), jnp.float32),
-        stamp=jnp.zeros((n, STACK_K), jnp.int32),
         next_stamp=jnp.ones((n,), jnp.int32),
     )
 
 
+def _unpack(packed):
+    occupied = packed != 0
+    stamp = packed >> (_MESH_BITS + _PRIO_BITS)
+    prio = (packed >> _MESH_BITS) & _PRIO_MASK
+    mesh = packed & _MESH_MASK
+    return occupied, stamp, prio, mesh
+
+
 def isect_list_query(lst: IsectList, mesh_id, priority):
     """IsectIsValid (pathintegrator.cpp:7-36): returns (valid, eta_outer)."""
-    occupied = lst.mesh >= 0
+    occupied, stamp, prio, mesh = _unpack(lst.packed)
     count = occupied.sum(axis=-1)
-    # newest and second-newest entries
-    stamp = jnp.where(occupied, lst.stamp, 0)
+    # newest and second-newest entries (stamp == 0 for empty slots)
     last = jnp.argmax(stamp, axis=-1)
     rows = jnp.arange(stamp.shape[0])
     stamp2 = stamp.at[rows, last].set(0)
     penult = jnp.argmax(stamp2, axis=-1)
 
-    last_mesh = lst.mesh[rows, last]
+    last_mesh = mesh[rows, last]
     last_eta = lst.eta[rows, last]
     penult_eta = lst.eta[rows, penult]
 
@@ -83,7 +97,7 @@ def isect_list_query(lst: IsectList, mesh_id, priority):
             jnp.where(count >= 2, penult_eta, 1.0),
         ),
     )
-    valid = ~jnp.any(occupied & (priority[:, None] < lst.priority), axis=-1)
+    valid = ~jnp.any(occupied & (priority[:, None] < prio), axis=-1)
     return valid, eta_outer
 
 
@@ -93,40 +107,34 @@ def isect_list_apply(lst: IsectList, mesh_id, priority, eta_sampled, do_update):
     Erase the newest slot matching mesh_id if present, else insert
     (mesh_id, priority, eta_sampled) into the first free slot.
     """
-    occupied = lst.mesh >= 0
-    match = occupied & (lst.mesh == mesh_id[:, None])
+    occupied, stamp, _, mesh = _unpack(lst.packed)
+    match = occupied & (mesh == mesh_id[:, None])
     has_match = jnp.any(match, axis=-1)
-    rows = jnp.arange(lst.mesh.shape[0])
+    rows = jnp.arange(lst.packed.shape[0])
 
-    match_stamp = jnp.where(match, lst.stamp, -1)
+    match_stamp = jnp.where(match, stamp, -1)
     erase_slot = jnp.argmax(match_stamp, axis=-1)
     do_erase = do_update & has_match
-    mesh = lst.mesh.at[rows, erase_slot].set(
-        jnp.where(do_erase, -1, lst.mesh[rows, erase_slot])
-    )
-    stamp = lst.stamp.at[rows, erase_slot].set(
-        jnp.where(do_erase, 0, lst.stamp[rows, erase_slot])
+    packed = lst.packed.at[rows, erase_slot].set(
+        jnp.where(do_erase, 0, lst.packed[rows, erase_slot])
     )
 
-    free = mesh < 0
+    free = packed == 0
     ins_slot = jnp.argmax(free, axis=-1)
     do_insert = do_update & ~has_match & jnp.any(free, axis=-1)
-    mesh = mesh.at[rows, ins_slot].set(
-        jnp.where(do_insert, mesh_id, mesh[rows, ins_slot])
+    new_entry = (
+        (lst.next_stamp << (_MESH_BITS + _PRIO_BITS))
+        | (priority << _MESH_BITS)
+        | mesh_id
     )
-    prio = lst.priority.at[rows, ins_slot].set(
-        jnp.where(do_insert, priority, lst.priority[rows, ins_slot])
+    packed = packed.at[rows, ins_slot].set(
+        jnp.where(do_insert, new_entry, packed[rows, ins_slot])
     )
     eta = lst.eta.at[rows, ins_slot].set(
         jnp.where(do_insert, eta_sampled, lst.eta[rows, ins_slot])
     )
-    stamp = stamp.at[rows, ins_slot].set(
-        jnp.where(do_insert, lst.next_stamp, stamp[rows, ins_slot])
-    )
     next_stamp = lst.next_stamp + do_insert.astype(jnp.int32)
-    return IsectList(
-        mesh=mesh, priority=prio, eta=eta, stamp=stamp, next_stamp=next_stamp
-    )
+    return IsectList(packed=packed, eta=eta, next_stamp=next_stamp)
 
 
 class Paths(NamedTuple):

@@ -167,7 +167,7 @@ class RenderSession:
             buf, state, rays = _spp_step_jit(
                 buf,
                 state,
-                samples[:, i],
+                samples[i],
                 scene,
                 self.bvh,
                 px,
@@ -176,6 +176,8 @@ class RenderSession:
                 self.total_w,
                 self.total_h,
                 self.filter_bounds,
+                render_w=self.render_w,
+                render_h=self.render_h,
             )
             rays_total = rays_total + rays
             if progress:
@@ -217,7 +219,10 @@ class RenderSession:
         return out_path
 
 
-def render_film(scene, bvh, params, px, py, total_w, total_h, filter_bounds):
+def render_film(
+    scene, bvh, params, px, py, total_w, total_h, filter_bounds,
+    grid_dims=None,
+):
     """Render the given pixel lanes into a full-size film buffer.
 
     This is the traced core shared by the single-chip path (_render_jit) and
@@ -228,7 +233,8 @@ def render_film(scene, bvh, params, px, py, total_w, total_h, filter_bounds):
     """
     # per-pixel streams, seeded y*totalWidth+x (render.cpp:81-82)
     state = rng.seed(py * total_w + px)
-    samples, state = sampling.latin_square(state, params.spp)  # (N, spp, 2)
+    samples, state = sampling.latin_square(state, params.spp)
+    samples = jnp.swapaxes(samples, 0, 1)  # (spp, N, 2): contiguous slices
 
     table = jnp.asarray(film.filter_table())
     buf = jnp.zeros((total_h, total_w, 5), jnp.float32)
@@ -244,7 +250,7 @@ def render_film(scene, bvh, params, px, py, total_w, total_h, filter_bounds):
 
     def spp_body(i, carry):
         buf, state, rays = carry
-        s = samples[:, i]
+        s = samples[i]
         o, d = camera.cast_rays(
             scene.cam_to_world,
             scene.fov,
@@ -255,15 +261,22 @@ def render_film(scene, bvh, params, px, py, total_w, total_h, filter_bounds):
             s,
         )
         l, a, state, r = tracer(o, d, state, params)
-        coords = jnp.stack(
-            [
-                (px + filter_bounds).astype(jnp.float32) + s[..., 0],
-                (py + filter_bounds).astype(jnp.float32) + s[..., 1],
-            ],
-            axis=-1,
-        )
         l_alpha = jnp.concatenate([l, a[:, None]], axis=-1)
-        buf = film.splat(buf, coords, l_alpha, params.filter_width, table)
+        if grid_dims is not None:
+            # lanes form the full row-major pixel grid: dense splat
+            buf = film.splat_grid(
+                buf, s, l_alpha, params.filter_width, table,
+                grid_dims[0], grid_dims[1], filter_bounds,
+            )
+        else:
+            coords = jnp.stack(
+                [
+                    (px + filter_bounds).astype(jnp.float32) + s[..., 0],
+                    (py + filter_bounds).astype(jnp.float32) + s[..., 1],
+                ],
+                axis=-1,
+            )
+            buf = film.splat(buf, coords, l_alpha, params.filter_width, table)
         return buf, state, rays + r
 
     buf, state, rays = jax.lax.fori_loop(
@@ -274,18 +287,42 @@ def render_film(scene, bvh, params, px, py, total_w, total_h, filter_bounds):
 
 @functools.partial(jax.jit, static_argnames=("total_w", "n_samples"))
 def _setup_jit(px, py, total_w, n_samples):
-    """Seed per-pixel streams + draw the Latin-square image samples."""
+    """Seed per-pixel streams + draw the Latin-square image samples.
+
+    Samples come back spp-major (spp, N, 2) so the per-spp slice in the
+    render loop is contiguous (the (N, spp, 2) layout made each step's
+    slice a strided 33MB gather at 512^2x16)."""
     state = rng.seed(py * total_w + px)
-    return sampling.latin_square(state, n_samples)
+    samples, state = sampling.latin_square(state, n_samples)
+    return jnp.swapaxes(samples, 0, 1), state
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("params", "total_w", "total_h", "filter_bounds"),
+    static_argnames=(
+        "params",
+        "total_w",
+        "total_h",
+        "filter_bounds",
+        "render_w",
+        "render_h",
+    ),
     donate_argnums=(0, 1),
 )
 def _spp_step_jit(
-    buf, state, s, scene, bvh, px, py, params, total_w, total_h, filter_bounds
+    buf,
+    state,
+    s,
+    scene,
+    bvh,
+    px,
+    py,
+    params,
+    total_w,
+    total_h,
+    filter_bounds,
+    render_w=None,
+    render_h=None,
 ):
     """One sample-per-pixel pass: trace the wavefront + splat into the film."""
     o, d = camera.cast_rays(
@@ -303,16 +340,23 @@ def _spp_step_jit(
         l, a, state, r = volume_integrator.trace(scene, bvh, o, d, state, params)
     else:
         l, a, state, r = path_integrator.trace(scene, bvh, o, d, state, params)
-    coords = jnp.stack(
-        [
-            (px + filter_bounds).astype(jnp.float32) + s[..., 0],
-            (py + filter_bounds).astype(jnp.float32) + s[..., 1],
-        ],
-        axis=-1,
-    )
     l_alpha = jnp.concatenate([l, a[:, None]], axis=-1)
     table = jnp.asarray(film.filter_table())
-    buf = film.splat(buf, coords, l_alpha, params.filter_width, table)
+    if render_w is not None:
+        # lanes are the full row-major render_w x render_h grid: dense splat
+        buf = film.splat_grid(
+            buf, s, l_alpha, params.filter_width, table,
+            render_w, render_h, filter_bounds,
+        )
+    else:
+        coords = jnp.stack(
+            [
+                (px + filter_bounds).astype(jnp.float32) + s[..., 0],
+                (py + filter_bounds).astype(jnp.float32) + s[..., 1],
+            ],
+            axis=-1,
+        )
+        buf = film.splat(buf, coords, l_alpha, params.filter_width, table)
     return buf, state, r
 
 
@@ -335,7 +379,8 @@ def _render_jit(
     px = idx % render_w
     py = idx // render_w
     buf, rays = render_film(
-        scene, bvh, params, px, py, total_w, total_h, filter_bounds
+        scene, bvh, params, px, py, total_w, total_h, filter_bounds,
+        grid_dims=(render_w, render_h),
     )
     return buf, rays
 

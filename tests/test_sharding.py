@@ -3,6 +3,7 @@
 import jax
 import numpy as np
 
+from nart_tpu import accel
 from nart_tpu import render as render_mod
 from nart_tpu import sharding
 from tests import scenes
@@ -46,7 +47,7 @@ def test_sharded_gradient_allreduce():
     params = render_mod.RenderParams(
         image_width=8, image_height=8, spp=1, bounces=2, filter_width=1.0
     )
-    bvh = grad_mod.build_bvh(np.asarray(scene.tri_v))
+    bvh = accel.build_bvh(np.asarray(scene.tri_v))
     scene_j = jax.tree_util.tree_map(jnp.asarray, scene)
     theta0 = grad_mod.get_params(scene_j)
     mesh = sharding.make_mesh(4)
