@@ -71,6 +71,30 @@ class BVH:
 def build_bvh(tri_v: np.ndarray, leaf_size: int = 8) -> BVH:
     tri_v = np.asarray(tri_v, np.float32)
     t = len(tri_v)
+    n_leaves = 1 << max(
+        0, int(np.ceil(np.log2(max(1, (t + leaf_size - 1) // leaf_size))))
+    )
+
+    from . import _native
+
+    native = _native.lbvh_build(tri_v, leaf_size, n_leaves)
+    if native is not None:
+        node_lo, node_hi, order_p, tv = native
+        return BVH(
+            node_lo=jnp.asarray(node_lo),
+            node_hi=jnp.asarray(node_hi),
+            order=jnp.asarray(order_p),
+            tri_v=jnp.asarray(tv),
+            n_leaves=n_leaves,
+            leaf_size=leaf_size,
+            depth=int(np.log2(n_leaves)),
+        )
+    return _build_bvh_py(tri_v, leaf_size)
+
+
+def _build_bvh_py(tri_v: np.ndarray, leaf_size: int = 8) -> BVH:
+    """Pure-Python twin of the native builder (behavior-defining fallback)."""
+    t = len(tri_v)
     lo = tri_v.min(axis=1)  # (T, 3)
     hi = tri_v.max(axis=1)
     centroid = 0.5 * (lo + hi)

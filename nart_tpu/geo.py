@@ -38,6 +38,16 @@ class MeshArrays:
 
 
 def load_geo(path: str, object_to_world: np.ndarray) -> MeshArrays:
+    from . import _native
+
+    native = _native.geo_load(path, object_to_world)
+    if native is not None:
+        return MeshArrays(v=native[0], n=native[1], uv=native[2])
+    return _load_geo_py(path, object_to_world)
+
+
+def _load_geo_py(path: str, object_to_world: np.ndarray) -> MeshArrays:
+    """Pure-Python twin of the native parser (behavior-defining fallback)."""
     nums = np.fromfile(path, dtype=np.float64, sep=" ")
     if nums.size == 0:
         raise ValueError(f"mesh file {path} could not be read")

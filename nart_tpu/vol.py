@@ -21,6 +21,18 @@ class VolGrid:
 
 
 def load_vol(path: str) -> VolGrid:
+    from . import _native
+
+    native = _native.vol_load(path)
+    if native is not None:
+        return VolGrid(
+            bounds_min=native[0], bounds_max=native[1], density=native[2]
+        )
+    return _load_vol_py(path)
+
+
+def _load_vol_py(path: str) -> VolGrid:
+    """Pure-Python twin of the native parser (behavior-defining fallback)."""
     nums = np.fromfile(path, dtype=np.float64, sep=" ")
     if nums.size < 9:
         raise ValueError(f"volume file {path} could not be read")
