@@ -26,6 +26,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.ad_checkpoint import checkpoint_name
 
 from .. import bxdf, rng
 from ..accel import BVH, intersect_bvh
@@ -289,6 +290,14 @@ def trace(scene, bvh: BVH, o, d, state, params, differentiable=False):
         hit = isect(
             o_main, p.d, jnp.zeros((n,)), jnp.where(p.alive, t_after_lights, 0.0)
         )
+        if differentiable:
+            # name the traversal outputs so the checkpoint policy saves them:
+            # the backward replay then recomputes only the (cheap) shading
+            # math, never the traversal while_loop — path-replay backprop
+            # with stored hit records
+            hit = jax.tree_util.tree_map(
+                lambda x: checkpoint_name(x, "isect"), hit
+            )
         hit_valid = hit.valid & p.alive
         surf = surface_at(hit, tri_v, tri_n, tri_uv, tri_mesh)
 
@@ -374,6 +383,10 @@ def trace(scene, bvh: BVH, o, d, state, params, differentiable=False):
             [jnp.where(useA, tA, 0.0), jnp.where(useB, tB, 0.0)], axis=0
         )
         sh_hit = isect(sh_o, sh_d, jnp.zeros((2 * n,)), sh_t)
+        if differentiable:
+            sh_hit = jax.tree_util.tree_map(
+                lambda x: checkpoint_name(x, "isect"), sh_hit
+            )
         occA = sh_hit.valid[:n]
         occB = sh_hit.valid[n : 2 * n]
 
@@ -522,10 +535,26 @@ def trace(scene, bvh: BVH, o, d, state, params, differentiable=False):
         )
 
     if differentiable:
-        body_ckpt = jax.checkpoint(bounce_body)
-        paths = jax.lax.fori_loop(
-            0, params.bounces, lambda b, p: body_ckpt(jnp.int32(b), p), paths
+        # Reverse-mode needs a static trip count; per-bounce jax.checkpoint
+        # keeps memory at O(wavefront).  The policy stores the traversal
+        # outputs (named "isect") as residuals, so the backward replay only
+        # redoes shading.  lax.cond skips entire bounces (fwd AND replay)
+        # once every lane is dead — the differentiable analog of the
+        # while_loop early exit below.
+        body_ckpt = jax.checkpoint(
+            bounce_body,
+            policy=jax.checkpoint_policies.save_only_these_names("isect"),
         )
+
+        def diff_bounce(b, p):
+            return jax.lax.cond(
+                jnp.any(p.alive),
+                lambda p: body_ckpt(jnp.int32(b), p),
+                lambda p: p,
+                p,
+            )
+
+        paths = jax.lax.fori_loop(0, params.bounces, diff_bounce, paths)
     else:
 
         def cond(carry):
