@@ -85,6 +85,29 @@ def test_volume_golden():
     )
 
 
+def test_texture_env_golden():
+    """Texture patterns end-to-end vs the reference binary: rho_d texture
+    (ColorChecker), roughness texture (alpha squaring), tangent-space
+    normal map (generated waves_normal.exr — reference decode n=2v-1,
+    plasticmaterial.cpp:16-21), environment light with 2D-CDF importance
+    sampling on uv.exr, plus a disk light for MIS, rougheningFactor 0.25."""
+    from nart_tpu import render as render_mod
+    from nart_tpu.scene import load_scene
+
+    scene_path = os.path.join(GOLDEN, "texture_env.json")
+    scene = load_scene(scene_path, asset_root="/root/reference")
+    params = next(iter(render_mod.load_sessions(scene_path)))
+    sess = render_mod.RenderSession(scene, params)
+    ours = sess.image()
+    _compare(
+        ours,
+        os.path.join(GOLDEN, "texture_env_128x128_16spp.exr"),
+        mean_tol=0.03,
+        block_tol=0.15,
+        block_frac=0.9,
+    )
+
+
 def test_veach_golden():
     ours = _render("veach.json", 128, 128, 16)
     _compare(
