@@ -108,6 +108,31 @@ def test_texture_env_golden():
     )
 
 
+def test_ring_golden():
+    """Ring light + multi-session end-to-end vs the reference binary:
+    ring.json declares three renderSessions (rougheningFactor 0/0.2/0.3); the
+    goldens were rendered with `-w 128 -h 128 -s 16` CLI overrides, one
+    EXR per session (main.cpp numbered-output behavior)."""
+    from nart_tpu import render as render_mod
+    from nart_tpu.scene import load_scene
+
+    scene_path = os.path.join(REF_SCENES, "ring.json")
+    scene = load_scene(scene_path, asset_root="/root/reference")
+    sessions = render_mod.load_sessions(
+        scene_path, dict(image_width=128, image_height=128, spp=16)
+    )
+    assert len(sessions) == 3
+    for i, params in enumerate(sessions):
+        sess = render_mod.RenderSession(scene, params)
+        _compare(
+            sess.image(),
+            os.path.join(GOLDEN, f"ring_128x128_16spp_{i}.exr"),
+            mean_tol=0.03,
+            block_tol=0.15,
+            block_frac=0.9,
+        )
+
+
 def test_veach_golden():
     ours = _render("veach.json", 128, 128, 16)
     _compare(
