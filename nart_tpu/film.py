@@ -88,23 +88,16 @@ def splat(film, coords, l_alpha, filter_width, table):
     return film_flat.reshape(h_tot, w_tot, 5)
 
 
-def splat_grid(
-    film, jitter, l_alpha, filter_width, table, render_w, render_h,
-    filter_bounds,
-):
-    """Dense splat for lanes that form the full row-major pixel grid.
+def tap_weights(jitter, filter_width, table, filter_bounds):
+    """Per-lane (N, K, K) Gaussian tap weights around the lane's own pixel.
 
-    Mathematically identical to splat() (same tap weights), but instead of a
-    32M-element scatter-add it reshapes the wavefront to an image and does
-    (2*fb+1)^2 statically-shifted dense adds — the scatter was the dominant
-    DMA cost of a render step on TPU.  Lane i is pixel (i % render_w,
-    i // render_w); its sample coord is pixel + filter_bounds + jitter.
+    Tap (dy, dx) covers total-image pixel (pixel + dy, pixel + dx); the
+    sample sits at pixel + filter_bounds + jitter in total coords.  Same
+    weight math as splat() (AddSample parity, render.cpp:23-70).
     """
     fw = np.float32(filter_width)
     fb = filter_bounds
     k = 2 * fb + 1  # window: tap j covers pixel+j in total coords
-    n = jitter.shape[0]
-    h_tot, w_tot, _ = film.shape
 
     jx = jitter[..., 0]
     jy = jitter[..., 1]
@@ -129,13 +122,25 @@ def splat_grid(
         dist_x[:, None, :] ** 2 + dist_y[:, :, None] ** 2
     )  # (N, K, K)
     idx = ((dist / fw) * FILTER_TABLE_RES).astype(jnp.int32) & 0xFF
-    w = table[jnp.minimum(idx, FILTER_TABLE_RES - 1)] * mask
+    idx = jnp.minimum(idx, FILTER_TABLE_RES - 1)
+    # one-hot contraction instead of a gather: bit-identical values, but
+    # fusable (a (N,K,K) gather inside a while_loop body sent XLA:TPU's
+    # layout pass into a multi-minute compile)
+    onehot = idx[..., None] == jnp.arange(FILTER_TABLE_RES, dtype=jnp.int32)
+    w = jnp.sum(jnp.where(onehot, table, 0.0), axis=-1)
+    return w * mask
 
-    vals = jnp.concatenate(
-        [l_alpha[:, None, None, :] * w[..., None], w[..., None]], axis=-1
-    )  # (N, K, K, 5)
+
+def accumulate_windows(film, vals, render_w, render_h):
+    """Merge per-lane (N, K, K, 5) tap windows into the film buffer.
+
+    Lane i is pixel (i % render_w, i // render_w); tap (dy, dx) adds to
+    total-image pixel (pixel + dy, pixel + dx).  (2*fb+1)^2 statically
+    shifted dense adds — the TPU-friendly replacement for a scatter-add.
+    """
+    h_tot, w_tot, _ = film.shape
+    k = vals.shape[1]
     img = vals.reshape(render_h, render_w, k, k, 5)
-
     # padded accumulator: taps can run off the film edge (the reference
     # drops them at tile merge, render.cpp:192-193); the crop does the same
     acc = jnp.zeros((h_tot + k, w_tot + k, 5), film.dtype)
@@ -145,6 +150,25 @@ def splat_grid(
                 img[:, :, dy, dx]
             )
     return film + acc[:h_tot, :w_tot]
+
+
+def splat_grid(
+    film, jitter, l_alpha, filter_width, table, render_w, render_h,
+    filter_bounds,
+):
+    """Dense splat for lanes that form the full row-major pixel grid.
+
+    Mathematically identical to splat() (same tap weights), but instead of a
+    32M-element scatter-add it reshapes the wavefront to an image and does
+    (2*fb+1)^2 statically-shifted dense adds — the scatter was the dominant
+    DMA cost of a render step on TPU.  Lane i is pixel (i % render_w,
+    i // render_w); its sample coord is pixel + filter_bounds + jitter.
+    """
+    w = tap_weights(jitter, filter_width, table, filter_bounds)
+    vals = jnp.concatenate(
+        [l_alpha[:, None, None, :] * w[..., None], w[..., None]], axis=-1
+    )  # (N, K, K, 5)
+    return accumulate_windows(film, vals, render_w, render_h)
 
 
 def finalize(film, image_width, image_height, filter_bounds):

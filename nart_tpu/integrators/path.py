@@ -209,21 +209,13 @@ def _select_light_sample(lights, index, p, u2):
     return le, wi, pdf, t
 
 
-def trace(scene, bvh: BVH, o, d, state, params, differentiable=False):
-    """Trace one wavefront of camera rays to radiance.
+def _make_bounce(scene, bvh, params, n, differentiable=False):
+    """Build the per-bounce wavefront step shared by every trace mode.
 
-    Args:
-      scene: SceneData (leaves jnp-convertible).
-      bvh: built BVH over the scene triangle soup.
-      o, d: (N, 3) camera rays.
-      state: (N,) uint32 RNG states (already past the Latin-square draws).
-      differentiable: use a static-trip-count rematerialised bounce loop so
-        reverse-mode AD works (path-replay backprop: every sampling decision
-        is detached; the backward pass recomputes each bounce instead of
-        storing it — jax.checkpoint on the bounce body).
-    Returns (L (N,3), alpha (N,), state, rays_traced ()).
+    Returns bounce_body(bounce, paths) -> Paths where `bounce` may be a
+    scalar (all lanes in lockstep — the per-spp loop) or an (N,) int32
+    vector (sample-regeneration mode: lanes at mixed depths).
     """
-    n = o.shape[0]
     n_lights = len(scene.lights)
     gamma = np.float32(params.roughening_factor**2)
     tri_v = jnp.asarray(scene.tri_v)
@@ -256,22 +248,6 @@ def trace(scene, bvh: BVH, o, d, state, params, differentiable=False):
 
         def isect(io, idd, tmin, tmax):
             return intersect_bvh(io, idd, tmin, tmax, bvh)
-
-    paths = Paths(
-        o=o,
-        d=d,
-        state=state,
-        beta=jnp.ones((n, 3)),
-        l=jnp.zeros((n, 3)),
-        alpha=jnp.zeros((n,)),
-        alive=jnp.ones((n,), bool),
-        flags=jnp.zeros((n,), jnp.int32),
-        eta_sampled=jnp.ones((n,)),
-        alpha_tweak=jnp.ones((n,)),
-        t_lim=jnp.full((n,), INF),
-        rays=jnp.zeros((), jnp.float32),
-        lst=isect_list_init(n),
-    )
 
     def bounce_body(bounce, paths):
         p = paths
@@ -534,6 +510,45 @@ def trace(scene, bvh: BVH, o, d, state, params, differentiable=False):
             lst=lst,
         )
 
+    return bounce_body
+
+
+def _paths_init(n, o, d, state):
+    return Paths(
+        o=o,
+        d=d,
+        state=state,
+        beta=jnp.ones((n, 3)),
+        l=jnp.zeros((n, 3)),
+        alpha=jnp.zeros((n,)),
+        alive=jnp.ones((n,), bool),
+        flags=jnp.zeros((n,), jnp.int32),
+        eta_sampled=jnp.ones((n,)),
+        alpha_tweak=jnp.ones((n,)),
+        t_lim=jnp.full((n,), INF),
+        rays=jnp.zeros((), jnp.float32),
+        lst=isect_list_init(n),
+    )
+
+
+def trace(scene, bvh: BVH, o, d, state, params, differentiable=False):
+    """Trace one wavefront of camera rays to radiance.
+
+    Args:
+      scene: SceneData (leaves jnp-convertible).
+      bvh: built BVH over the scene triangle soup.
+      o, d: (N, 3) camera rays.
+      state: (N,) uint32 RNG states (already past the Latin-square draws).
+      differentiable: use a static-trip-count rematerialised bounce loop so
+        reverse-mode AD works (path-replay backprop: every sampling decision
+        is detached; the backward pass recomputes each bounce instead of
+        storing it — jax.checkpoint on the bounce body).
+    Returns (L (N,3), alpha (N,), state, rays_traced ()).
+    """
+    n = o.shape[0]
+    bounce_body = _make_bounce(scene, bvh, params, n, differentiable)
+    paths = _paths_init(n, o, d, state)
+
     if differentiable:
         # Reverse-mode needs a static trip count; per-bounce jax.checkpoint
         # keeps memory at O(wavefront).  The policy stores the traversal
@@ -567,3 +582,286 @@ def trace(scene, bvh: BVH, o, d, state, params, differentiable=False):
 
         _, paths = jax.lax.while_loop(cond, body, (jnp.int32(0), paths))
     return paths.l, paths.alpha, paths.state, paths.rays
+
+
+def _isect_list_reset(lst: IsectList, mask):
+    m = mask[:, None]
+    return IsectList(
+        packed=jnp.where(m, 0, lst.packed),
+        eta=jnp.where(m, 1.0, lst.eta),
+        next_stamp=jnp.where(mask, 1, lst.next_stamp),
+    )
+
+
+def trace_regen(scene, bvh, px, py, samples, state, params):
+    """Sample-regeneration wavefront: all spp of every pixel in ONE loop.
+
+    The per-spp lockstep loop (trace() called once per sample) wastes whole
+    rounds once most lanes are dead — per-round cost on TPU is constant in
+    the live-lane count, and glass/caustic tails keep a few lanes alive to
+    the bounce cap.  Here each lane owns one pixel and processes its spp
+    samples BACK TO BACK: the moment sample s dies (miss / pdf<=0 / RR /
+    bounce cap — pathintegrator.cpp:166's loop exit conditions), its
+    radiance is folded into a per-lane filter-tap window accumulator and the
+    lane respawns with sample s+1's camera ray in the same round.  Lanes
+    stay ~fully utilised until the whole chunk drains: round count drops
+    from spp * bounces to ~spp * mean_path_length + tail.
+
+    RNG parity: lane i's draws happen in exactly the per-pixel order of the
+    sequential renderer (Latin-square first — `samples` is drawn by the
+    caller — then every sample's path draws back to back), so sampling
+    decisions are bit-identical to trace() / the scalar oracle.
+
+    The loop body only writes the finished sample's radiance into a per-
+    (lane, sample) slot (a one-hot select); ALL filter-tap math happens
+    after the loop (tap_weights' floor/sqrt/table chain inside a while body
+    sent XLA:TPU into multi-minute compiles).
+
+    Args:
+      px, py: (N,) lane pixel coords (row-major full grid).
+      samples: (spp_chunk, N, 2) Latin-square jitters for this chunk.
+      state: (N,) uint32 RNG states (past the Latin-square draws).
+    Returns (la (spp_chunk, N, 4) per-sample RGBA radiance, state, rays).
+    The caller splats la[s] in sample order (film.splat_grid), which keeps
+    the film BIT-identical to the sequential per-spp loop and independent
+    of the chunk size (checkpoint/resume exactness).
+    """
+    from .. import camera as camera_mod
+
+    n = px.shape[0]
+    spp_chunk = samples.shape[0]
+    bounce_body = _make_bounce(scene, bvh, params, n)
+
+    def cast(jitter):
+        return camera_mod.cast_rays(
+            scene.cam_to_world,
+            scene.fov,
+            params.image_width,
+            params.image_height,
+            px,
+            py,
+            jitter,
+        )
+
+    o0, d0 = cast(samples[0])
+    carry0 = (
+        _paths_init(n, o0, d0, state),
+        jnp.zeros((n,), jnp.int32),  # per-lane bounce
+        jnp.zeros((n,), jnp.int32),  # per-lane sample index
+        jnp.zeros((spp_chunk, n, 4), jnp.float32),  # per-sample radiance
+    )
+
+    def cond(carry):
+        paths = carry[0]
+        return jnp.any(paths.alive)
+
+    def body(carry):
+        paths, bounce, samp, la_out = carry
+        was_alive = paths.alive
+        p = bounce_body(bounce, paths)
+
+        # loop-exit bookkeeping: the reference's `for bounce < bounces`
+        # ends a sample after its params.bounces'th iteration
+        bounce_next = jnp.where(was_alive, bounce + 1, bounce)
+        exhausted = p.alive & (bounce_next >= params.bounces)
+        alive = p.alive & ~exhausted
+        dying = was_alive & ~alive
+
+        # record the finished sample's radiance in its slot
+        la = jnp.concatenate([p.l, p.alpha[:, None]], axis=-1)
+        slot = (
+            jnp.arange(spp_chunk, dtype=jnp.int32)[:, None] == samp[None, :]
+        )
+        la_out = la_out + jnp.where(
+            (slot & dying[None, :])[..., None], la[None], 0.0
+        )
+
+        # respawn with the pixel's next sample (same RNG stream — parity
+        # with the sequential per-spp loop)
+        samp_next = samp + 1
+        respawn = dying & (samp_next < spp_chunk)
+        samp = jnp.where(dying, samp_next, samp)
+        # per-lane jitter fetch: one-hot over the (small, static) chunk axis
+        onehot = (
+            jnp.arange(spp_chunk, dtype=jnp.int32)[:, None]
+            == jnp.clip(samp_next, 0, spp_chunk - 1)[None, :]
+        )
+        jitter_new = jnp.einsum(
+            "sn,snc->nc", onehot.astype(jnp.float32), samples
+        )
+        o_new, d_new = cast(jitter_new)
+        rm = respawn[:, None]
+        paths = Paths(
+            o=jnp.where(rm, o_new, p.o),
+            d=jnp.where(rm, d_new, p.d),
+            state=p.state,
+            beta=jnp.where(rm, 1.0, p.beta),
+            l=jnp.where(rm, 0.0, p.l),
+            alpha=jnp.where(respawn, 0.0, p.alpha),
+            alive=alive | respawn,
+            flags=jnp.where(respawn, 0, p.flags),
+            eta_sampled=jnp.where(respawn, 1.0, p.eta_sampled),
+            alpha_tweak=jnp.where(respawn, 1.0, p.alpha_tweak),
+            t_lim=jnp.where(respawn, INF, p.t_lim),
+            rays=p.rays,
+            lst=_isect_list_reset(p.lst, respawn),
+        )
+        bounce = jnp.where(respawn, 0, bounce_next)
+        return paths, bounce, samp, la_out
+
+    paths, _, _, la_out = jax.lax.while_loop(cond, body, carry0)
+    return la_out, paths.state, paths.rays
+
+
+def _path_stream_seed(item):
+    """Independent RNG stream per (pixel, sample) work item.
+
+    murmur3 finalizer on the global item id, then the reference's seeding
+    offset (rng.seed).  Used by the balanced wavefront, where a lane is a
+    work SLOT rather than a pixel, so per-pixel sequential streams (the
+    reference's layout, kept bit-exact by wavefront="spp"/"regen") cannot
+    apply.  Deterministic and collision-free by construction; statistical
+    equivalence vs the reference layout is covered by the golden tests.
+    """
+    h = item.astype(jnp.uint32)
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> 13)
+    h = h * jnp.uint32(0xC2B2AE35)
+    h = h ^ (h >> 16)
+    return rng.seed(h)
+
+
+def trace_balanced(
+    scene,
+    bvh,
+    samples,
+    params,
+    render_w,
+    render_h,
+    chunk_base=0,
+    n_lanes=0,
+):
+    """Work-queue wavefront: lanes pull (pixel, sample) items on death.
+
+    trace_regen fixes the per-SAMPLE dead-lane waste but still binds each
+    lane to one pixel — and path length is spatially systematic (every
+    sample of a glass-sphere pixel runs to the bounce cap), so the slowest
+    pixel still sets the round count.  Here the (pixel, sample) pairs of
+    the chunk form one global queue in pixel-major order (consecutive
+    respawns get consecutive pixels of the same sample index — coherent
+    camera rays); the moment a lane's path terminates it pulls the next
+    item via a prefix-sum over this round's dying lanes.  Round count
+    drops to ceil(total_items * mean_path_length / n_lanes) + max path
+    length, independent of WHERE the long paths live.  n_lanes is a free
+    parameter (not tied to the pixel count): more lanes = fewer rounds =
+    less per-round launch overhead per ray.
+
+    RNG: each item gets an independent stream (_path_stream_seed of its
+    GLOBAL sample id — chunk_base * n_pixels + local item), so results are
+    deterministic and chunk-size invariant, but the per-pixel stream
+    layout of the reference does NOT apply (use wavefront="spp"/"regen"
+    for bit-exact stream parity; image-sample jitters still come from the
+    reference's per-pixel Latin-square draws either way).
+
+    Args:
+      samples: (spp_chunk, P, 2) per-pixel Latin-square jitters.
+      render_w, render_h: static lane-grid dims (P = render_w * render_h).
+      chunk_base: first GLOBAL sample index of this chunk (spp offset).
+      n_lanes: work slots; 0 = auto (min(total_items, 2^20)).
+    Returns (la (spp_chunk, P, 4) per-sample RGBA radiance, rays).
+    """
+    from .. import camera as camera_mod
+
+    spp_chunk, n_pix = samples.shape[0], samples.shape[1]
+    total = spp_chunk * n_pix
+    if not n_lanes:
+        n_lanes = min(total, 1 << 20)
+    n = n_lanes
+    bounce_body = _make_bounce(scene, bvh, params, n)
+    samples_flat = samples.reshape(total, 2)
+    base = jnp.uint32(chunk_base) * jnp.uint32(n_pix)
+
+    def spawn(item):
+        """Item -> (o, d, state, jitter) for its (pixel, sample)."""
+        it = jnp.clip(item, 0, total - 1)
+        jit = samples_flat[it]
+        pix = it % n_pix
+        px = pix % render_w
+        py = pix // render_w
+        o, d = camera_mod.cast_rays(
+            scene.cam_to_world,
+            scene.fov,
+            params.image_width,
+            params.image_height,
+            px,
+            py,
+            jit,
+        )
+        state = _path_stream_seed(item.astype(jnp.uint32) + base)
+        return o, d, state
+
+    item0 = jnp.arange(n, dtype=jnp.int32)
+    o0, d0, st0 = spawn(item0)
+    paths0 = _paths_init(n, o0, d0, st0)
+    paths0 = paths0._replace(alive=item0 < total)
+    carry0 = (
+        paths0,
+        jnp.zeros((n,), jnp.int32),  # per-lane bounce
+        item0,  # per-lane work item
+        jnp.int32(min(n, total)),  # queue head
+        jnp.zeros((total, 4), jnp.float32),  # per-item radiance
+    )
+
+    def cond(carry):
+        return jnp.any(carry[0].alive)
+
+    def body(carry):
+        paths, bounce, item, head, la_out = carry
+        was_alive = paths.alive
+        p = bounce_body(bounce, paths)
+
+        bounce_next = jnp.where(was_alive, bounce + 1, bounce)
+        exhausted = p.alive & (bounce_next >= params.bounces)
+        alive = p.alive & ~exhausted
+        dying = was_alive & ~alive
+
+        # finished items write their radiance (unique rows; sentinel drop)
+        la = jnp.concatenate([p.l, p.alpha[:, None]], axis=-1)
+        tgt = jnp.where(dying, item, total)
+        la_out = la_out.at[tgt].add(
+            jnp.where(dying[:, None], la, 0.0),
+            mode="drop",
+            unique_indices=True,
+        )
+
+        # pull the next queue items (prefix sum over this round's deaths)
+        dy = dying.astype(jnp.int32)
+        rank = jnp.cumsum(dy) - dy
+        new_item = head + rank
+        respawn = dying & (new_item < total)
+        head = head + jnp.sum(dy)
+        item = jnp.where(dying, new_item, item)
+
+        o_new, d_new, st_new = spawn(new_item)
+        rm = respawn[:, None]
+        paths = Paths(
+            o=jnp.where(rm, o_new, p.o),
+            d=jnp.where(rm, d_new, p.d),
+            state=jnp.where(respawn, st_new, p.state),
+            beta=jnp.where(rm, 1.0, p.beta),
+            l=jnp.where(rm, 0.0, p.l),
+            alpha=jnp.where(respawn, 0.0, p.alpha),
+            alive=alive | respawn,
+            flags=jnp.where(respawn, 0, p.flags),
+            eta_sampled=jnp.where(respawn, 1.0, p.eta_sampled),
+            alpha_tweak=jnp.where(respawn, 1.0, p.alpha_tweak),
+            t_lim=jnp.where(respawn, INF, p.t_lim),
+            rays=p.rays,
+            lst=_isect_list_reset(p.lst, respawn),
+        )
+        bounce = jnp.where(respawn, 0, bounce_next)
+        return paths, bounce, item, head, la_out
+
+    paths, _, _, _, la_out = jax.lax.while_loop(cond, body, carry0)
+    return la_out.reshape(spp_chunk, n_pix, 4), paths.rays

@@ -54,6 +54,14 @@ class RenderParams:
     # LIGHT_SAMPLING, pathintegrator.cpp:3-4); both on by default
     mis_bsdf: bool = True
     mis_light: bool = True
+    # wavefront scheduling: "regen" = sample-regeneration (each lane runs
+    # its pixel's spp samples back to back, respawning the moment one dies
+    # — rounds ~ spp * mean path length instead of spp * bounces); "spp" =
+    # the lockstep one-sample-per-pass loop.  Same sampling decisions and
+    # results either way (fp add order differs).  Path integrator only.
+    wavefront: str = "regen"
+    # samples per regen chunk (one jitted while_loop); 0 = auto
+    spp_chunk: int = 0
 
 
 _DEFAULTS = RenderParams()
@@ -163,35 +171,70 @@ class RenderSession:
             buf = jnp.asarray(f0)
             state = jnp.asarray(s0)
         rays_total = jnp.zeros((), jnp.float32)
-        for i in range(start_spp, self.params.spp):
-            buf, state, rays = _spp_step_jit(
-                buf,
-                state,
-                samples[i],
-                scene,
-                self.bvh,
-                px,
-                py,
-                self.params,
-                self.total_w,
-                self.total_h,
-                self.filter_bounds,
-                render_w=self.render_w,
-                render_h=self.render_h,
-            )
+        regen = (
+            self.params.wavefront == "regen"
+            and self.params.integrator != "volume"
+        )
+        if regen:
+            # chunk size: checkpoint granularity wins (boundaries must
+            # align for bit-identical resume), else auto
+            if checkpoint_path and checkpoint_every:
+                chunk = min(checkpoint_every, self.params.spp)
+            elif self.params.spp_chunk:
+                chunk = min(self.params.spp_chunk, self.params.spp)
+            else:
+                chunk = min(self.params.spp, 32)
+            bounds = list(range(start_spp, self.params.spp, chunk))
+        else:
+            bounds = list(range(start_spp, self.params.spp))
+        for i in bounds:
+            if regen:
+                j = min(i + chunk, self.params.spp)
+                buf, state, rays = _regen_step_jit(
+                    buf,
+                    state,
+                    samples[i:j],
+                    scene,
+                    self.bvh,
+                    px,
+                    py,
+                    self.params,
+                    self.total_w,
+                    self.total_h,
+                    self.filter_bounds,
+                    render_w=self.render_w,
+                    render_h=self.render_h,
+                )
+            else:
+                j = i + 1
+                buf, state, rays = _spp_step_jit(
+                    buf,
+                    state,
+                    samples[i],
+                    scene,
+                    self.bvh,
+                    px,
+                    py,
+                    self.params,
+                    self.total_w,
+                    self.total_h,
+                    self.filter_bounds,
+                    render_w=self.render_w,
+                    render_h=self.render_h,
+                )
             rays_total = rays_total + rays
             if progress:
-                pct = int((i + 1) * 100 / self.params.spp)
+                pct = int(j * 100 / self.params.spp)
                 print(f"\r{pct}%", end="", file=sys.stderr, flush=True)
             if (
                 checkpoint_path
                 and checkpoint_every
-                and (i + 1) % checkpoint_every == 0
-                and (i + 1) < self.params.spp
+                and j % checkpoint_every == 0
+                and j < self.params.spp
             ):
                 from . import checkpoint as ckpt
 
-                ckpt.save(checkpoint_path, buf, state, i + 1, self.params)
+                ckpt.save(checkpoint_path, buf, state, j, self.params)
         if progress:
             print("\r100%", file=sys.stderr, flush=True)
         out = np.asarray(buf)
@@ -358,6 +401,49 @@ def _spp_step_jit(
         )
         buf = film.splat(buf, coords, l_alpha, params.filter_width, table)
     return buf, state, r
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "params",
+        "total_w",
+        "total_h",
+        "filter_bounds",
+        "render_w",
+        "render_h",
+    ),
+    donate_argnums=(0, 1),
+)
+def _regen_step_jit(
+    buf,
+    state,
+    samples_chunk,
+    scene,
+    bvh,
+    px,
+    py,
+    params,
+    total_w,
+    total_h,
+    filter_bounds,
+    render_w,
+    render_h,
+):
+    """One sample-regeneration chunk: all lanes run `chunk` samples back to
+    back in a single while_loop (path_integrator.trace_regen), then each
+    sample's radiance splats in sample order — the film is bit-identical to
+    the sequential per-spp loop regardless of chunk size."""
+    table = jnp.asarray(film.filter_table())
+    la, state, rays = path_integrator.trace_regen(
+        scene, bvh, px, py, samples_chunk, state, params
+    )
+    for s in range(samples_chunk.shape[0]):
+        buf = film.splat_grid(
+            buf, samples_chunk[s], la[s], params.filter_width, table,
+            render_w, render_h, filter_bounds,
+        )
+    return buf, state, rays
 
 
 @functools.partial(
