@@ -94,6 +94,112 @@ def render_lanes(scene, bvh, params, width, height, spp, seed_base=0):
     return acc / np.float32(spp)
 
 
+def radiance_weighted_loss_and_grad(
+    scene,
+    theta,
+    bvh,
+    samples,
+    cot,
+    params,
+    width,
+    height,
+    chunk_base=0,
+    lanes=0,
+    n_rounds=None,
+):
+    """Value+grad of sum(cot * per-sample radiance) — balanced wavefront.
+
+    The high-throughput fwd+bwd path: path-replay backprop over the
+    work-queue wavefront.  Any image loss linearises to this form (the
+    film splat is linear in the per-sample radiance, so cot = d loss /
+    d la is computable from a forward render).
+
+    Two-phase: a cheap non-differentiable forward (while_loop) measures
+    the exact round count for this chunk, then a statically-bounded,
+    per-round-checkpointed fori_loop runs under value_and_grad (reverse AD
+    needs the static trip count; decisions are deterministic per work
+    item, so the replay traces the identical paths).
+
+    Pass n_rounds (from a previous call at the same scene/chunk shape — the
+    round count is deterministic) to skip the measuring forward.
+
+    Returns (loss, grads, rays, n_rounds) where rays counts the AD
+    forward's traced rays (one forward pass's worth).
+    """
+    scene = jax.tree_util.tree_map(jnp.asarray, scene)
+
+    if n_rounds is None:
+        _, _, rounds = _measure_rounds_jit(
+            scene, bvh, samples, params, width, height, chunk_base, lanes
+        )
+        # pad to a multiple of 4: fewer recompiles across chunks/steps
+        n_rounds = int(np.ceil(max(int(rounds), 1) / 4) * 4)
+
+    (loss, (rays, unfinished)), grads = _balanced_grad_jit(
+        scene,
+        theta,
+        bvh,
+        samples,
+        cot,
+        params,
+        width,
+        height,
+        n_rounds,
+        chunk_base,
+        lanes,
+    )
+    if int(unfinished):
+        raise AssertionError(
+            f"balanced grad replay truncated: {int(unfinished)} lanes alive "
+            f"after {n_rounds} rounds"
+        )
+    return loss, grads, rays, n_rounds
+
+
+@functools.partial(
+    jax.jit, static_argnames=("params", "width", "height", "lanes")
+)
+def _measure_rounds_jit(
+    scene, bvh, samples, params, width, height, chunk_base, lanes
+):
+    from .integrators import path as path_integrator
+
+    return path_integrator.trace_balanced(
+        scene, bvh, samples, params, width, height,
+        chunk_base=chunk_base, n_lanes=lanes,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("params", "width", "height", "n_rounds", "lanes"),
+)
+def _balanced_grad_jit(
+    scene,
+    theta,
+    bvh,
+    samples,
+    cot,
+    params,
+    width,
+    height,
+    n_rounds,
+    chunk_base,
+    lanes,
+):
+    from .integrators import path as path_integrator
+
+    def f(theta):
+        scn = put_params(scene, theta)
+        loss, rays, unfinished = path_integrator.trace_balanced_loss(
+            scn, bvh, samples, cot, params, width, height, n_rounds,
+            chunk_base=chunk_base, n_lanes=lanes,
+        )
+        return loss, (rays, unfinished)
+
+    return jax.value_and_grad(f, has_aux=True)(theta)
+
+
 def loss_and_grad(scene, params, width, height, spp, loss_fn, leaf_size=8):
     """Value+grad of loss_fn(image (H,W,3)) w.r.t. the trainable params.
 

@@ -741,6 +741,8 @@ def trace_balanced(
     render_h,
     chunk_base=0,
     n_lanes=0,
+    pix_offset=0,
+    n_pix_total=None,
 ):
     """Work-queue wavefront: lanes pull (pixel, sample) items on death.
 
@@ -769,24 +771,162 @@ def trace_balanced(
       render_w, render_h: static lane-grid dims (P = render_w * render_h).
       chunk_base: first GLOBAL sample index of this chunk (spp offset).
       n_lanes: work slots; 0 = auto (min(total_items, 2^20)).
-    Returns (la (spp_chunk, P, 4) per-sample RGBA radiance, rays).
+    Returns (la (spp_chunk, P, 4) per-sample RGBA radiance, rays, rounds).
+    """
+    spp_chunk, n_pix = samples.shape[0], samples.shape[1]
+    total = spp_chunk * n_pix
+    core0, step = _balanced_machine(
+        scene, bvh, samples, params, render_w, render_h, chunk_base, n_lanes,
+        pix_offset=pix_offset, n_pix_total=n_pix_total,
+    )
+
+    carry0 = (
+        core0,
+        jnp.zeros((total, 4), jnp.float32),  # per-item radiance
+        jnp.zeros((), jnp.int32),  # rounds executed
+    )
+
+    def cond(carry):
+        return jnp.any(carry[0][0].alive)
+
+    def body(carry):
+        core, la_out, rounds = carry
+        core, dying, la, item = step(core)
+        # finished items write their radiance (unique rows; sentinel drop)
+        tgt = jnp.where(dying, item, total)
+        la_out = la_out.at[tgt].add(
+            jnp.where(dying[:, None], la, 0.0),
+            mode="drop",
+            unique_indices=True,
+        )
+        return core, la_out, rounds + 1
+
+    (paths, *_), la_out, rounds = jax.lax.while_loop(cond, body, carry0)
+    return la_out.reshape(spp_chunk, n_pix, 4), paths.rays, rounds
+
+
+def trace_balanced_loss(
+    scene,
+    bvh,
+    samples,
+    cot,
+    params,
+    render_w,
+    render_h,
+    n_rounds,
+    chunk_base=0,
+    n_lanes=0,
+    pix_offset=0,
+    n_pix_total=None,
+):
+    """Differentiable balanced wavefront: scalar loss = sum(cot * la).
+
+    The reverse-mode counterpart of trace_balanced for path-replay
+    backprop at full wavefront utilisation.  Reverse AD needs a static
+    trip count, so the caller first runs trace_balanced (cheap, while_loop)
+    and passes its measured round count — the fori_loop here replays the
+    exact same rounds (decisions are deterministic per work item).  Each
+    round is jax.checkpoint'ed storing only the traversal outputs
+    ("isect"): the backward pass replays the shading math per round and
+    never re-runs the intersection kernels.
+
+    Accumulating a SCALAR (the cotangent-weighted radiance sum) instead of
+    the (total_items, 4) radiance table keeps the per-round carry O(lanes):
+    for an arbitrary image loss, linearise first (compute d loss / d la
+    from the forward image — the splat is linear in la) and pass it as
+    `cot`.
+
+    Args:
+      cot: (spp_chunk, P, 4) cotangent of the per-sample radiance.
+      n_rounds: static round count (>= the forward pass's measured count;
+        extra rounds are no-ops).
+    Returns (loss, rays, unfinished) — unfinished > 0 means n_rounds was
+    too small (result invalid; rerun with more rounds).
+    """
+    spp_chunk, n_pix = samples.shape[0], samples.shape[1]
+    total = spp_chunk * n_pix
+    core0, step = _balanced_machine(
+        scene,
+        bvh,
+        samples,
+        params,
+        render_w,
+        render_h,
+        chunk_base,
+        n_lanes,
+        differentiable=True,
+        pix_offset=pix_offset,
+        n_pix_total=n_pix_total,
+    )
+    cot_flat = jnp.reshape(cot, (total, 4))
+
+    def round_body(core, loss):
+        core, dying, la, item = step(core)
+        c = cot_flat[jnp.clip(item, 0, total - 1)]
+        contrib = jnp.sum(c * la, axis=-1) * dying.astype(jnp.float32)
+        return core, loss + jnp.sum(contrib)
+
+    round_ckpt = jax.checkpoint(
+        round_body,
+        policy=jax.checkpoint_policies.save_only_these_names("isect"),
+    )
+
+    def body(i, carry):
+        core, loss = carry
+        return round_ckpt(core, loss)
+
+    core, loss = jax.lax.fori_loop(
+        0, n_rounds, body, (core0, jnp.zeros((), jnp.float32))
+    )
+    paths = core[0]
+    unfinished = jnp.sum(paths.alive.astype(jnp.int32))
+    return loss, paths.rays, unfinished
+
+
+def _balanced_machine(
+    scene,
+    bvh,
+    samples,
+    params,
+    render_w,
+    render_h,
+    chunk_base,
+    n_lanes,
+    differentiable=False,
+    pix_offset=0,
+    n_pix_total=None,
+):
+    """Shared work-queue machinery for the balanced wavefront.
+
+    pix_offset/n_pix_total support sharding: local items cover n_pix
+    pixels starting at global pixel id pix_offset of a n_pix_total grid;
+    RNG stream seeds use GLOBAL (pixel, sample) ids so the result is
+    invariant to the device count / slab decomposition.
+
+    Returns (core0, step): step(core) -> (core', dying, la, item_before)
+    where `la` is the RGBA radiance of lanes whose item finished this
+    round (`dying`), and `item_before` identifies that item.
     """
     from .. import camera as camera_mod
 
     spp_chunk, n_pix = samples.shape[0], samples.shape[1]
     total = spp_chunk * n_pix
     if not n_lanes:
-        n_lanes = min(total, 1 << 20)
+        # 2^19 measured faster than 2^20 on one chip (drain-tail rounds cost
+        # full price; fewer lanes shorten the all-idle tail fraction)
+        n_lanes = min(total, 1 << 19)
     n = n_lanes
-    bounce_body = _make_bounce(scene, bvh, params, n)
+    if n_pix_total is None:
+        n_pix_total = n_pix
+    bounce_body = _make_bounce(scene, bvh, params, n, differentiable)
     samples_flat = samples.reshape(total, 2)
-    base = jnp.uint32(chunk_base) * jnp.uint32(n_pix)
 
     def spawn(item):
-        """Item -> (o, d, state, jitter) for its (pixel, sample)."""
+        """Item -> (o, d, state) for its (pixel, sample)."""
         it = jnp.clip(item, 0, total - 1)
         jit = samples_flat[it]
-        pix = it % n_pix
+        pix = it % n_pix + jnp.int32(pix_offset)  # global pixel id
+        s = it // n_pix
         px = pix % render_w
         py = pix // render_w
         o, d = camera_mod.cast_rays(
@@ -798,26 +938,25 @@ def trace_balanced(
             py,
             jit,
         )
-        state = _path_stream_seed(item.astype(jnp.uint32) + base)
+        gid = (jnp.uint32(chunk_base) + s.astype(jnp.uint32)) * jnp.uint32(
+            n_pix_total
+        ) + pix.astype(jnp.uint32)
+        state = _path_stream_seed(gid)
         return o, d, state
 
     item0 = jnp.arange(n, dtype=jnp.int32)
     o0, d0, st0 = spawn(item0)
     paths0 = _paths_init(n, o0, d0, st0)
     paths0 = paths0._replace(alive=item0 < total)
-    carry0 = (
+    core0 = (
         paths0,
         jnp.zeros((n,), jnp.int32),  # per-lane bounce
         item0,  # per-lane work item
         jnp.int32(min(n, total)),  # queue head
-        jnp.zeros((total, 4), jnp.float32),  # per-item radiance
     )
 
-    def cond(carry):
-        return jnp.any(carry[0].alive)
-
-    def body(carry):
-        paths, bounce, item, head, la_out = carry
+    def step(core):
+        paths, bounce, item, head = core
         was_alive = paths.alive
         p = bounce_body(bounce, paths)
 
@@ -825,15 +964,8 @@ def trace_balanced(
         exhausted = p.alive & (bounce_next >= params.bounces)
         alive = p.alive & ~exhausted
         dying = was_alive & ~alive
-
-        # finished items write their radiance (unique rows; sentinel drop)
         la = jnp.concatenate([p.l, p.alpha[:, None]], axis=-1)
-        tgt = jnp.where(dying, item, total)
-        la_out = la_out.at[tgt].add(
-            jnp.where(dying[:, None], la, 0.0),
-            mode="drop",
-            unique_indices=True,
-        )
+        item_before = item
 
         # pull the next queue items (prefix sum over this round's deaths)
         dy = dying.astype(jnp.int32)
@@ -861,7 +993,6 @@ def trace_balanced(
             lst=_isect_list_reset(p.lst, respawn),
         )
         bounce = jnp.where(respawn, 0, bounce_next)
-        return paths, bounce, item, head, la_out
+        return (paths, bounce, item, head), dying, la, item_before
 
-    paths, _, _, _, la_out = jax.lax.while_loop(cond, body, carry0)
-    return la_out.reshape(spp_chunk, n_pix, 4), paths.rays
+    return core0, step

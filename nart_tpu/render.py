@@ -54,14 +54,21 @@ class RenderParams:
     # LIGHT_SAMPLING, pathintegrator.cpp:3-4); both on by default
     mis_bsdf: bool = True
     mis_light: bool = True
-    # wavefront scheduling: "regen" = sample-regeneration (each lane runs
-    # its pixel's spp samples back to back, respawning the moment one dies
-    # — rounds ~ spp * mean path length instead of spp * bounces); "spp" =
-    # the lockstep one-sample-per-pass loop.  Same sampling decisions and
-    # results either way (fp add order differs).  Path integrator only.
-    wavefront: str = "regen"
-    # samples per regen chunk (one jitted while_loop); 0 = auto
+    # wavefront scheduling (path integrator only):
+    #   "balanced" — work-queue: lanes pull (pixel, sample) items on death
+    #     (prefix-sum queue, per-item RNG streams).  Fastest: round count
+    #     ~ total work / lanes regardless of where long paths live.
+    #   "regen"    — per-pixel sample regeneration; the reference's exact
+    #     per-pixel RNG stream layout, bit-identical results to "spp".
+    #   "spp"      — lockstep one-sample-per-pass loop (oracle-parity
+    #     baseline).
+    # All three are deterministic and converge to the same image; only
+    # "regen"/"spp" reproduce the reference's stream layout bit-exactly.
+    wavefront: str = "balanced"
+    # samples per wavefront chunk (one jitted while_loop); 0 = auto
     spp_chunk: int = 0
+    # work-slot lanes for wavefront="balanced"; 0 = auto
+    lanes: int = 0
 
 
 _DEFAULTS = RenderParams()
@@ -172,7 +179,7 @@ class RenderSession:
             state = jnp.asarray(s0)
         rays_total = jnp.zeros((), jnp.float32)
         regen = (
-            self.params.wavefront == "regen"
+            self.params.wavefront in ("regen", "balanced")
             and self.params.integrator != "volume"
         )
         if regen:
@@ -190,7 +197,12 @@ class RenderSession:
         for i in bounds:
             if regen:
                 j = min(i + chunk, self.params.spp)
-                buf, state, rays = _regen_step_jit(
+                step = (
+                    _balanced_step_jit
+                    if self.params.wavefront == "balanced"
+                    else _regen_step_jit
+                )
+                buf, state, rays = step(
                     buf,
                     state,
                     samples[i:j],
@@ -204,6 +216,7 @@ class RenderSession:
                     self.filter_bounds,
                     render_w=self.render_w,
                     render_h=self.render_h,
+                    chunk_base=jnp.int32(i),
                 )
             else:
                 j = i + 1
@@ -429,6 +442,7 @@ def _regen_step_jit(
     filter_bounds,
     render_w,
     render_h,
+    chunk_base=None,
 ):
     """One sample-regeneration chunk: all lanes run `chunk` samples back to
     back in a single while_loop (path_integrator.trace_regen), then each
@@ -437,6 +451,57 @@ def _regen_step_jit(
     table = jnp.asarray(film.filter_table())
     la, state, rays = path_integrator.trace_regen(
         scene, bvh, px, py, samples_chunk, state, params
+    )
+    for s in range(samples_chunk.shape[0]):
+        buf = film.splat_grid(
+            buf, samples_chunk[s], la[s], params.filter_width, table,
+            render_w, render_h, filter_bounds,
+        )
+    return buf, state, rays
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "params",
+        "total_w",
+        "total_h",
+        "filter_bounds",
+        "render_w",
+        "render_h",
+    ),
+    donate_argnums=(0,),
+)
+def _balanced_step_jit(
+    buf,
+    state,
+    samples_chunk,
+    scene,
+    bvh,
+    px,
+    py,
+    params,
+    total_w,
+    total_h,
+    filter_bounds,
+    render_w,
+    render_h,
+    chunk_base=None,
+):
+    """One balanced-wavefront chunk: work-queue over (pixel, sample) items
+    (path_integrator.trace_balanced), then per-sample splats in order.
+    The per-pixel RNG states pass through untouched (paths use per-item
+    streams); they still seed the Latin-square jitters upstream."""
+    table = jnp.asarray(film.filter_table())
+    la, rays, _ = path_integrator.trace_balanced(
+        scene,
+        bvh,
+        samples_chunk,
+        params,
+        render_w,
+        render_h,
+        chunk_base=chunk_base,
+        n_lanes=params.lanes,
     )
     for s in range(samples_chunk.shape[0]):
         buf = film.splat_grid(

@@ -59,8 +59,20 @@ def render_sharded(
 ):
     """Render with pixel lanes sharded over the mesh.
 
+    wavefront="balanced" (the default) shards pixel ROWS: each device runs
+    its own work-queue wavefront over its row slab's (pixel, sample) items
+    and splats a slab film; slabs (whose filter-tap borders overlap) are
+    psum-merged.  Per-item RNG streams are keyed by GLOBAL ids, so the
+    image is invariant to the device count.  Other modes shard pixel lanes
+    over the per-spp loop (render_film) with a full-film psum.
+
     Returns the merged (totalH, totalW, 5) film (replicated on all devices).
     """
+    if params.wavefront == "balanced" and params.integrator != "volume":
+        return _render_sharded_balanced(
+            scene, bvh, params, mesh, render_w, render_h, total_w, total_h,
+            filter_bounds,
+        )
     axis = mesh.axis_names[0]
     n_dev = mesh.devices.size
     n = render_w * render_h
@@ -88,4 +100,87 @@ def render_sharded(
         bvh,
         jnp.asarray(px),
         jnp.asarray(py),
+    )
+
+
+def _render_sharded_balanced(
+    scene,
+    bvh,
+    params: RenderParams,
+    mesh: Mesh,
+    render_w,
+    render_h,
+    total_w,
+    total_h,
+    filter_bounds,
+):
+    """Row-slab sharding of the balanced work-queue wavefront."""
+    from . import film as film_mod
+    from . import rng, sampling
+    from .integrators import path as path_integrator
+
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    rows = -(-render_h // n_dev)  # rows per device (last slab may pad)
+    rows_total = rows * n_dev
+    p_local = rows * render_w
+    n_pix_total = render_w * render_h
+    fb = filter_bounds
+    k = 2 * fb + 1
+    spp = params.spp
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def shard_render(scene, bvh):
+        dev = jax.lax.axis_index(axis)
+        row0 = dev * rows
+        local = jnp.arange(p_local, dtype=jnp.int32)
+        px = local % render_w
+        py = row0 + local // render_w
+        real = py < render_h  # padded rows trace but never splat
+        # per-pixel Latin-square jitters from the reference's pixel streams
+        state = rng.seed(py * total_w + px)
+        samples, _ = sampling.latin_square(state, spp)
+        samples = jnp.swapaxes(samples, 0, 1)  # (spp, P_local, 2)
+
+        la, rays, _ = path_integrator.trace_balanced(
+            scene,
+            bvh,
+            samples,
+            params,
+            render_w,
+            rows,
+            n_lanes=params.lanes,
+            pix_offset=row0 * render_w,
+            n_pix_total=n_pix_total,
+        )
+
+        table = jnp.asarray(film_mod.filter_table())
+        acc = jnp.zeros((rows + k, total_w + k, 5), jnp.float32)
+        for s in range(spp):
+            w = film_mod.tap_weights(
+                samples[s], params.filter_width, table, fb
+            )
+            vals = jnp.concatenate(
+                [la[s][:, None, None, :] * w[..., None], w[..., None]], -1
+            )
+            vals = jnp.where(real[:, None, None, None], vals, 0.0)
+            img = vals.reshape(rows, render_w, k, k, 5)
+            for dy in range(k):
+                for dx in range(k):
+                    acc = acc.at[dy : dy + rows, dx : dx + render_w].add(
+                        img[:, :, dy, dx]
+                    )
+        film_pad = jnp.zeros((rows_total + k, total_w + k, 5), jnp.float32)
+        film_pad = jax.lax.dynamic_update_slice(film_pad, acc, (row0, 0, 0))
+        film_pad = jax.lax.psum(film_pad, axis)
+        return film_pad[:total_h, :total_w]
+
+    return jax.jit(shard_render)(
+        jax.tree_util.tree_map(jnp.asarray, scene), bvh
     )

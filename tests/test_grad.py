@@ -101,6 +101,57 @@ def test_light_radiance_gradient_matches_fd():
     assert g_fd > 0
 
 
+def test_balanced_gradient_matches_fd():
+    """Path-replay backprop over the balanced work-queue wavefront: AD of
+    the cotangent-weighted radiance sum matches finite differences of the
+    same (deterministic, per-item-stream) forward estimator."""
+    from nart_tpu import rng, sampling
+    from nart_tpu.integrators import path as path_integrator
+
+    scene, params = _setup(("lambert",))
+    w = h = params.image_width
+    n = w * h
+    bvh = grad_mod.build_accel(np.asarray(scene.tri_v), "auto")
+    scene_j = jax.tree_util.tree_map(jnp.asarray, scene)
+
+    idx = jnp.arange(n, dtype=jnp.int32)
+    px, py = idx % w, idx // w
+    state = rng.seed(py * (w + 2) + px)
+    samples, _ = sampling.latin_square(state, params.spp)
+    samples = jnp.swapaxes(samples, 0, 1)
+    cot = jnp.ones((params.spp, n, 4)).at[..., 3].set(0.0)
+
+    theta = grad_mod.get_params(scene_j)
+    loss, grads, rays, _ = grad_mod.radiance_weighted_loss_and_grad(
+        scene_j, theta, bvh, samples, cot, params, w, h
+    )
+    g_ad = np.asarray(grads["rho_d_const"])[0, 0]
+
+    @jax.jit
+    def fwd_loss(theta):
+        scn = grad_mod.put_params(scene_j, theta)
+        la, _, _ = path_integrator.trace_balanced(
+            scn, bvh, samples, params, w, h
+        )
+        return jnp.sum(la[..., :3])
+
+    # AD loss equals the forward estimator exactly (same replayed paths)
+    np.testing.assert_allclose(float(loss), float(fwd_loss(theta)), rtol=1e-5)
+
+    eps = 1e-2
+    tp = jax.tree_util.tree_map(lambda x: np.array(x, np.float64), theta)
+    tp["rho_d_const"][0, 0] += eps
+    tp = {k: (jnp.asarray(np.float32(v)) if not isinstance(v, list) else v)
+          for k, v in tp.items()}
+    tm = jax.tree_util.tree_map(lambda x: np.array(x, np.float64), theta)
+    tm["rho_d_const"][0, 0] -= eps
+    tm = {k: (jnp.asarray(np.float32(v)) if not isinstance(v, list) else v)
+          for k, v in tm.items()}
+    g_fd = (float(fwd_loss(tp)) - float(fwd_loss(tm))) / (2 * eps)
+    assert abs(g_ad - g_fd) <= 0.05 * max(abs(g_fd), 1e-3), (g_ad, g_fd)
+    assert g_fd > 0
+
+
 def test_roughness_gradient_finite():
     # glossy roughness influences f and D; decisions detached — gradient
     # must exist and be finite (FD is noisier here; check well-defined only)

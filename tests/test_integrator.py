@@ -8,12 +8,21 @@ from tests import oracle, scenes
 
 
 def _compare(scene, params, rtol=2e-3, atol=2e-3, state_frac=0.95):
-    sess = render_mod.RenderSession(scene, params)
-    got = sess.render()
+    """Check BOTH reference-stream wavefront modes against the oracle.
+
+    The oracle transcribes the reference's per-pixel sequential RNG
+    stream; "spp" and "regen" preserve that layout bit-exactly (the
+    "balanced" default uses per-(pixel,sample) streams and is validated
+    statistically in test_balanced_matches_regen)."""
+    import dataclasses
+
     want, states = oracle.render_oracle(scene, params)
     w = np.where(want[..., 4:5] > 0, want, 0)
-    g = np.where(got[..., 4:5] > 0, got, 0)
-    np.testing.assert_allclose(g, w, rtol=rtol, atol=atol)
+    for mode in ("spp", "regen"):
+        p = dataclasses.replace(params, wavefront=mode)
+        got = render_mod.RenderSession(scene, p).render()
+        g = np.where(got[..., 4:5] > 0, got, 0)
+        np.testing.assert_allclose(g, w, rtol=rtol, atol=atol)
 
 
 def test_lambert_matches_oracle():
@@ -76,6 +85,35 @@ def test_accel_paths_agree():
     params_b = dataclasses.replace(params, accel="brute")
     film_brute = render_mod.RenderSession(scene, params_b).render()
     np.testing.assert_allclose(film_bvh, film_brute, rtol=1e-5, atol=1e-6)
+
+
+def test_balanced_matches_regen():
+    """The balanced work-queue wavefront is an unbiased estimator of the
+    same integral as the reference-stream modes: means agree within MC
+    noise, and it is bit-deterministic + chunk-size invariant (per-item
+    RNG streams depend only on global (pixel, sample) ids)."""
+    import dataclasses
+
+    scene = scenes.simple_scene(("plastic",), roughness=0.5, intensity=4.0)
+    base = render_mod.RenderParams(
+        image_width=8, image_height=8, spp=32, bounces=4, filter_width=1.0
+    )
+    img_regen = render_mod.RenderSession(
+        scene, dataclasses.replace(base, wavefront="regen")
+    ).image()
+    p_bal = dataclasses.replace(base, wavefront="balanced")
+    img_bal = render_mod.RenderSession(scene, p_bal).image()
+    # unbiasedness: same mean within MC noise at 32 spp
+    m_r, m_b = img_regen[..., :3].mean(), img_bal[..., :3].mean()
+    assert abs(m_r - m_b) / max(m_r, 1e-6) < 0.1, (m_r, m_b)
+    # determinism + chunk invariance: different chunking, identical image
+    p_chunked = dataclasses.replace(p_bal, spp_chunk=8)
+    img_chunked = render_mod.RenderSession(scene, p_chunked).image()
+    np.testing.assert_array_equal(img_bal, img_chunked)
+    # lane-count invariance: the work queue assigns the same streams
+    p_lanes = dataclasses.replace(p_bal, lanes=100)
+    img_lanes = render_mod.RenderSession(scene, p_lanes).image()
+    np.testing.assert_array_equal(img_bal, img_lanes)
 
 
 def test_mis_strategies_converge():
