@@ -883,6 +883,37 @@ def trace_balanced_loss(
     return loss, paths.rays, unfinished
 
 
+def _sort_key(scene_lo, scene_inv_extent, o, d, alive):
+    """Ray-coherence sort key: direction octant + origin Morton cell.
+
+    Blocks of the Pallas intersection kernel are culled by a conservative
+    interval test over the block's rays; incoherent blocks (direction
+    intervals spanning zero) see every cluster.  Grouping lanes by rough
+    direction and quantised origin restores block coherence for secondary
+    bounces.  Dead lanes sort to the back, packing into whole-dead blocks
+    the kernel skips entirely.
+    """
+    oct_ = (
+        (d[:, 0] > 0).astype(jnp.uint32) * 4
+        + (d[:, 1] > 0).astype(jnp.uint32) * 2
+        + (d[:, 2] > 0).astype(jnp.uint32)
+    )
+    u = jnp.clip((o - scene_lo) * scene_inv_extent, 0.0, 1.0)
+    q = (u * 255.0).astype(jnp.uint32)
+
+    def expand8(v):  # spread 8 bits over 24 (every third position)
+        v = (v | (v << 8)) & jnp.uint32(0x0300F00F)
+        v = (v | (v << 4)) & jnp.uint32(0x030C30C3)
+        v = (v | (v << 2)) & jnp.uint32(0x09249249)
+        return v
+
+    morton = (
+        (expand8(q[:, 0]) << 2) | (expand8(q[:, 1]) << 1) | expand8(q[:, 2])
+    )
+    key = (oct_ << jnp.uint32(24)) | (morton >> jnp.uint32(3))
+    return jnp.where(alive, key, jnp.uint32(0xFFFFFFFF))
+
+
 def _balanced_machine(
     scene,
     bvh,
@@ -993,6 +1024,28 @@ def _balanced_machine(
             lst=_isect_list_reset(p.lst, respawn),
         )
         bounce = jnp.where(respawn, 0, bounce_next)
+
+        if getattr(params, "sort_rays", False):
+            # re-pack lanes for the next round's traversal: coherent blocks
+            # cull clusters; dead lanes pack into whole-dead blocks.  Lanes
+            # are anonymous work slots (the item id travels with the lane),
+            # so the permutation needs no inverse anywhere.
+            key = _sort_key(
+                scene_lo_j, scene_inv_extent_j, paths.o, paths.d, paths.alive
+            )
+            perm = jnp.argsort(key)
+            paths = jax.tree_util.tree_map(
+                lambda x: x if x.ndim == 0 else x[perm], paths
+            )
+            bounce = bounce[perm]
+            item = item[perm]
+
         return (paths, bounce, item, head), dying, la, item_before
+
+    tv = jnp.reshape(jnp.asarray(scene.tri_v), (-1, 3))
+    scene_lo_j = jnp.min(tv, axis=0)
+    scene_inv_extent_j = 1.0 / jnp.maximum(
+        jnp.max(tv, axis=0) - scene_lo_j, 1e-12
+    )
 
     return core0, step

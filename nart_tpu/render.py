@@ -69,6 +69,13 @@ class RenderParams:
     spp_chunk: int = 0
     # work-slot lanes for wavefront="balanced"; 0 = auto
     lanes: int = 0
+    # re-sort balanced lanes each round by direction octant + origin Morton
+    # cell: coherent ray blocks cull more clusters and dead lanes pack into
+    # whole-dead blocks the traversal kernel skips.  Off by default: at
+    # glassSphere scale (20 clusters) the argsort+permute costs more than
+    # the culling saves (measured 11.1s vs 9.9s at 512^2@16spp); enable for
+    # scenes with many clusters where mask density dominates.
+    sort_rays: bool = False
 
 
 _DEFAULTS = RenderParams()

@@ -132,13 +132,17 @@ def _render_sharded_balanced(
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), P()),
+        in_specs=(P(), P(), P(axis)),
         out_specs=P(),
         check_vma=False,
     )
-    def shard_render(scene, bvh):
-        dev = jax.lax.axis_index(axis)
-        row0 = dev * rows
+    def shard_render(scene, bvh, row0s):
+        # the slab offset arrives as a SHARDED input rather than
+        # axis_index * rows: with check_vma=False, a psum whose operand
+        # derives from no sharded input is silently miscompiled (treated
+        # as replicated); a sharded operand lineage keeps it a real
+        # all-reduce
+        row0 = row0s[0]
         local = jnp.arange(p_local, dtype=jnp.int32)
         px = local % render_w
         py = row0 + local // render_w
@@ -181,6 +185,7 @@ def _render_sharded_balanced(
         film_pad = jax.lax.psum(film_pad, axis)
         return film_pad[:total_h, :total_w]
 
+    row0s = jnp.arange(n_dev, dtype=jnp.int32) * rows
     return jax.jit(shard_render)(
-        jax.tree_util.tree_map(jnp.asarray, scene), bvh
+        jax.tree_util.tree_map(jnp.asarray, scene), bvh, row0s
     )
