@@ -41,6 +41,28 @@ def build_parser():
         "or the Pallas cluster-culling kernel (TPU fast path)",
     )
     p.add_argument(
+        "--wavefront",
+        choices=("balanced", "regen", "spp"),
+        default=None,
+        help="wavefront scheduler: balanced work queue (default, fastest), "
+        "per-pixel sample regeneration, or lockstep per-spp passes "
+        "(the latter two reproduce the reference's RNG stream layout "
+        "bit-exactly)",
+    )
+    p.add_argument(
+        "--lanes",
+        type=int,
+        default=None,
+        help="work-slot lanes for --wavefront balanced (0 = auto)",
+    )
+    p.add_argument(
+        "--sortRays",
+        action="store_true",
+        dest="sort_rays",
+        help="re-sort balanced lanes each round by ray coherence key "
+        "(wins on cluster-heavy scenes)",
+    )
+    p.add_argument(
         "--platform",
         type=str,
         default=None,
@@ -83,9 +105,13 @@ def main(argv=None):
             "filter_width",
             "roughening_factor",
             "accel",
+            "wavefront",
+            "lanes",
         )
         if getattr(args, k) is not None
     }
+    if args.sort_rays:
+        overrides["sort_rays"] = True
 
     from . import render as render_mod
     from .scene import load_scene

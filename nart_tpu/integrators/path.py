@@ -1025,7 +1025,14 @@ def _balanced_machine(
         )
         bounce = jnp.where(respawn, 0, bounce_next)
 
-        if getattr(params, "sort_rays", False):
+        sort = getattr(params, "sort_rays", None)
+        if sort is None:
+            # auto: the argsort+permute (~40ms/round at 512k lanes) only
+            # pays for itself when blocks see many clusters — measured
+            # 2.5x win at 738 clusters (cameraLens), 12% loss at 20
+            # (glassSphere)
+            sort = getattr(bvh, "n_clusters", 0) > 64
+        if sort:
             # re-pack lanes for the next round's traversal: coherent blocks
             # cull clusters; dead lanes pack into whole-dead blocks.  Lanes
             # are anonymous work slots (the item id travels with the lane),

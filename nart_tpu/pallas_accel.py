@@ -146,8 +146,11 @@ def block_cluster_mask(o, d, t_max, cl_lo, cl_hi, block):
 
 
 def _kernel(
-    mask_ref,  # (n_clusters, n_blocks) int32, scalar-prefetched to SMEM
-    # (clusters-major: SMEM pads the minor dim to 128, so blocks must be it)
+    mask_ref,  # (ceil(n_clusters/32), n_blocks) uint32, scalar-prefetched
+    # to SMEM.  Bit c%32 of word [c//32, blk] = cluster c visible to block
+    # blk.  Bit-packed over clusters so the SMEM footprint stays ~blocks *
+    # clusters/32 bytes (a flat i32 mask blew v5e's 1 MB SMEM at ~100k
+    # triangles).
     ray_ref,  # (8, R): ox oy oz dx dy dz tmin tmax
     sel_ref,  # (5, R): onehot-free per-ray selection data (see below)
     planes_ref,  # (13, n_clusters, CLUSTER)
@@ -187,7 +190,10 @@ def _kernel(
     r = ox.shape[1]
 
     def cluster_body(c, _):
-        @pl.when(mask_ref[c, blk] != 0)
+        word = mask_ref[c >> 5, blk]
+        bit = (word >> (c & 31).astype(jnp.uint32)) & jnp.uint32(1)
+
+        @pl.when(bit != 0)
         def _():
             # triangle planes for this cluster: (CLUSTER,) rows -> (C, 1)
             pcl = planes_ref[:, c, :]  # (13, CLUSTER)
@@ -299,11 +305,21 @@ def intersect_clusters(o, d, t_min, t_max, accel: ClusterAccel,
         ]
     )  # (5, N)
 
-    mask = (
-        block_cluster_mask(o, d, t_max, accel.cl_lo, accel.cl_hi, block)
-        .astype(jnp.int32)
-        .T
-    )
+    mask = block_cluster_mask(
+        o, d, t_max, accel.cl_lo, accel.cl_hi, block
+    )  # (n_blocks, n_clusters) bool
+    n_words = -(-accel.n_clusters // 32)
+    pad_c = n_words * 32 - accel.n_clusters
+    if pad_c:
+        mask = jnp.concatenate(
+            [mask, jnp.zeros((mask.shape[0], pad_c), bool)], axis=1
+        )
+    bits = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None, :]
+    packed = jnp.sum(
+        mask.reshape(mask.shape[0], n_words, 32).astype(jnp.uint32) * bits,
+        axis=-1,
+        dtype=jnp.uint32,
+    ).T  # (n_words, n_blocks)
 
     grid = ((n + pad) // block,)
     row_blk = lambda h: pl.BlockSpec((h, block), lambda i, m: (0, i),
@@ -334,7 +350,7 @@ def intersect_clusters(o, d, t_min, t_max, accel: ClusterAccel,
             jax.ShapeDtypeStruct((1, n + pad), jnp.float32),
         ],
         interpret=interpret,
-    )(mask, rays, sel, accel.planes)
+    )(packed, rays, sel, accel.planes)
     t = t[0, :n]
     idx = idx[0, :n]
     tri = jnp.where(idx >= 0, accel.order[jnp.maximum(idx, 0)], -1)

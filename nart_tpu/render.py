@@ -71,11 +71,11 @@ class RenderParams:
     lanes: int = 0
     # re-sort balanced lanes each round by direction octant + origin Morton
     # cell: coherent ray blocks cull more clusters and dead lanes pack into
-    # whole-dead blocks the traversal kernel skips.  Off by default: at
-    # glassSphere scale (20 clusters) the argsort+permute costs more than
-    # the culling saves (measured 11.1s vs 9.9s at 512^2@16spp); enable for
-    # scenes with many clusters where mask density dominates.
-    sort_rays: bool = False
+    # whole-dead blocks the traversal kernel skips.  None = auto (on for
+    # scenes with > 64 clusters, where it measured 2.5x — cameraLens 94k
+    # tris; off for small scenes where the argsort+permute costs more than
+    # the culling saves — glassSphere measured 11.1s vs 9.9s).
+    sort_rays: object = None
 
 
 _DEFAULTS = RenderParams()
@@ -95,8 +95,12 @@ def resolve_params(session_json: dict, overrides: dict) -> RenderParams:
         "bounces": "bounces",
         "filterWidth": "filter_width",
         "rougheningFactor": "roughening_factor",
-        # TPU-native extension key (not part of the reference schema)
+        # TPU-native extension keys (not part of the reference schema)
         "accel": "accel",
+        "wavefront": "wavefront",
+        "lanes": "lanes",
+        "sppChunk": "spp_chunk",
+        "sortRays": "sort_rays",
     }
     vals = {}
     for jkey, field_name in keys.items():
@@ -107,9 +111,12 @@ def resolve_params(session_json: dict, overrides: dict) -> RenderParams:
         else:
             vals[field_name] = getattr(_DEFAULTS, field_name)
     vals["roughening_factor"] = min(max(float(vals["roughening_factor"]), 0.0), 1.0)
-    for k in ("image_width", "image_height", "bucket_size", "spp", "bounces"):
+    for k in ("image_width", "image_height", "bucket_size", "spp", "bounces",
+              "lanes", "spp_chunk"):
         vals[k] = int(vals[k])
     vals["filter_width"] = float(vals["filter_width"])
+    if vals["sort_rays"] is not None:
+        vals["sort_rays"] = bool(vals["sort_rays"])
     return RenderParams(**vals)
 
 
