@@ -132,8 +132,10 @@ def radiance_weighted_loss_and_grad(
         _, _, rounds = _measure_rounds_jit(
             scene, bvh, samples, params, width, height, chunk_base, lanes
         )
-        # pad to a multiple of 4: fewer recompiles across chunks/steps
-        n_rounds = int(np.ceil(max(int(rounds), 1) / 4) * 4)
+        # pad up: fewer recompiles across chunks/steps (extra rounds are
+        # cheap no-ops at the small auto lane counts)
+        pad = 4 if int(rounds) < 64 else 16
+        n_rounds = int(np.ceil(max(int(rounds), 1) / pad) * pad)
 
     (loss, (rays, unfinished)), grads = _balanced_grad_jit(
         scene,

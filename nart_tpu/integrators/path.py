@@ -713,6 +713,10 @@ def trace_regen(scene, bvh, px, py, samples, state, params):
     return la_out, paths.state, paths.rays
 
 
+def _next_pow2(v):
+    return 1 << int(np.ceil(np.log2(max(int(v), 1))))
+
+
 def _path_stream_seed(item):
     """Independent RNG stream per (pixel, sample) work item.
 
@@ -943,9 +947,17 @@ def _balanced_machine(
     spp_chunk, n_pix = samples.shape[0], samples.shape[1]
     total = spp_chunk * n_pix
     if not n_lanes:
-        # 2^19 measured faster than 2^20 on one chip (drain-tail rounds cost
-        # full price; fewer lanes shorten the all-idle tail fraction)
-        n_lanes = min(total, 1 << 19)
+        # Lane-count tradeoff: per-round cost grows ~linearly with lanes
+        # while queue rounds shrink as work/lanes — but the DRAIN tail
+        # (max path length rounds while the queue empties) always costs
+        # ~bounces full-price rounds, so oversized wavefronts pay bounces *
+        # c(lanes) of mostly-idle work.  Minimising (work/L + bounces) *
+        # c(L) gives L* ~ sqrt(work); measured sweep on glassSphere
+        # 512^2@16spp (16k..1M lanes): 5.6, 5.5, 5.8, 6.5, 7.6, 8.7, 11.2 s
+        # -> optimum ~32k = ~12 * sqrt(items).
+        target = 12.0 * float(total) ** 0.5
+        n_lanes = 1 << max(14, int(np.ceil(np.log2(max(target, 1.0)))))
+        n_lanes = min(n_lanes, 1 << 19, _next_pow2(total))
     n = n_lanes
     if n_pix_total is None:
         n_pix_total = n_pix
