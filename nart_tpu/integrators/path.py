@@ -40,6 +40,7 @@ STACK_K = 8  # nested-dielectric stack slots per lane
 # parking spot for culled rays: far outside any scene AABB, so the
 # block-cluster interval test / BVH slab test rejects them immediately
 _FAR_POINT = np.asarray([1e8, 1e8, 1e8], np.float32)
+_DEBUG_SKIP_SHADOW = False  # profiling only: treat all shadow rays unoccluded
 
 
 # The per-lane nested-dielectric table is the largest piece of the bounce
@@ -228,7 +229,11 @@ def _make_bounce(scene, bvh, params, n, differentiable=False):
 
     accel_kind = resolve_accel_kind(getattr(params, "accel", "bvh"))
     if accel_kind == "pallas":
-        from ..pallas_accel import ClusterAccel, intersect_clusters
+        from ..pallas_accel import (
+            ClusterAccel,
+            intersect_clusters,
+            intersect_clusters_any,
+        )
 
         assert isinstance(bvh, ClusterAccel), (
             "accel='pallas' needs a ClusterAccel (build_clusters)"
@@ -237,6 +242,11 @@ def _make_bounce(scene, bvh, params, n, differentiable=False):
         def isect(io, idd, tmin, tmax):
             return intersect_clusters(io, idd, tmin, tmax, bvh)
 
+        def isect_occl(io, idd, tmin, tmax):
+            # shadow rays only need a boolean: the any-hit kernel drops the
+            # per-cluster argmin bookkeeping and early-outs saturated blocks
+            return intersect_clusters_any(io, idd, tmin, tmax, bvh)
+
     elif accel_kind == "brute":
         # chunked streaming intersector: on TPU the lockstep BVH walk is
         # gather/scatter-bound, while the chunk scan streams on the VPU —
@@ -244,10 +254,16 @@ def _make_bounce(scene, bvh, params, n, differentiable=False):
         def isect(io, idd, tmin, tmax):
             return intersect_brute(io, idd, tmin, tmax, tri_v, chunk=256)
 
+        def isect_occl(io, idd, tmin, tmax):
+            return isect(io, idd, tmin, tmax).valid
+
     else:
 
         def isect(io, idd, tmin, tmax):
             return intersect_bvh(io, idd, tmin, tmax, bvh)
+
+        def isect_occl(io, idd, tmin, tmax):
+            return isect(io, idd, tmin, tmax).valid
 
     def bounce_body(bounce, paths):
         p = paths
@@ -358,13 +374,14 @@ def _make_bounce(scene, bvh, params, n, differentiable=False):
         sh_t = jnp.concatenate(
             [jnp.where(useA, tA, 0.0), jnp.where(useB, tB, 0.0)], axis=0
         )
-        sh_hit = isect(sh_o, sh_d, jnp.zeros((2 * n,)), sh_t)
-        if differentiable:
-            sh_hit = jax.tree_util.tree_map(
-                lambda x: checkpoint_name(x, "isect"), sh_hit
-            )
-        occA = sh_hit.valid[:n]
-        occB = sh_hit.valid[n : 2 * n]
+        if _DEBUG_SKIP_SHADOW:  # profiling knob: attribute traversal cost
+            occ = jnp.zeros((2 * n,), bool)
+        else:
+            occ = isect_occl(sh_o, sh_d, jnp.zeros((2 * n,)), sh_t)
+            if differentiable:
+                occ = checkpoint_name(occ, "isect")
+        occA = occ[:n]
+        occB = occ[n : 2 * n]
 
         # strategy A contribution (BSDF sampling)
         wA_spec = (dflags & bxdf.SPECULAR) != 0

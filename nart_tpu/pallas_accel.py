@@ -274,6 +274,189 @@ def _kernel(
     jax.lax.fori_loop(0, n_clusters, cluster_body, None)
 
 
+def _kernel_any(
+    mask_ref,  # (ceil(n_clusters/32), n_blocks) uint32, scalar-prefetched
+    ray_ref,  # (8, R): ox oy oz dx dy dz tmin tmax
+    sel_ref,  # (5, R): watertight permute/shear selection data
+    planes_ref,  # (13, n_clusters, CLUSTER)
+    occ_out,  # (1, R) int32: 1 iff any hit with t in (tmin, tmax)
+    *,
+    n_clusters,
+):
+    """Any-hit (occlusion) variant of _kernel.
+
+    Shadow rays only need a boolean, so the per-cluster argmin/barycentric
+    bookkeeping of the closest-hit kernel is dropped (one any-reduce per
+    cluster), and the cluster loop early-outs once every ray in the block
+    is occluded — shadow rays toward the same light saturate fast.
+    Occlusion predicate matches the closest-hit kernel's hit.valid exactly:
+    any watertight hit with t strictly inside (t_min, t_max).
+    """
+    blk = pl.program_id(0)
+    ox = ray_ref[0, :][None, :]
+    oy = ray_ref[1, :][None, :]
+    oz = ray_ref[2, :][None, :]
+    dx = ray_ref[3, :][None, :]
+    dy = ray_ref[4, :][None, :]
+    dz = ray_ref[5, :][None, :]
+    t_min = ray_ref[6, :][None, :]
+    t_max = ray_ref[7, :][None, :]
+    perm0 = sel_ref[0, :][None, :]
+    perm1 = sel_ref[1, :][None, :]
+    perm2 = sel_ref[2, :][None, :]
+    sx = sel_ref[3, :][None, :]
+    sy = sel_ref[4, :][None, :]
+
+    def sel(x, y, z, axis):
+        return jnp.where(axis == 0.0, x, jnp.where(axis == 1.0, y, z))
+
+    o_a = sel(ox, oy, oz, perm0)
+    o_b = sel(ox, oy, oz, perm1)
+    o_c = sel(ox, oy, oz, perm2)
+
+    # parked/culled lanes (t_max <= 0) can never record a hit: seed them as
+    # "occluded" so they count as decided for the early-out, and strip them
+    # in the epilogue
+    occ_out[:] = (t_max <= 0.0).astype(jnp.int32)
+
+    def cluster_body(c, done):
+        word = mask_ref[c >> 5, blk]
+        bit = (word >> (c & 31).astype(jnp.uint32)) & jnp.uint32(1)
+
+        @pl.when((bit != 0) & jnp.logical_not(done))
+        def _():
+            pcl = planes_ref[:, c, :]  # (13, CLUSTER)
+            v0x = pcl[0, :][:, None]
+            v0y = pcl[1, :][:, None]
+            v0z = pcl[2, :][:, None]
+            v1x = pcl[3, :][:, None]
+            v1y = pcl[4, :][:, None]
+            v1z = pcl[5, :][:, None]
+            v2x = pcl[6, :][:, None]
+            v2y = pcl[7, :][:, None]
+            v2z = pcl[8, :][:, None]
+            nx = pcl[9, :][:, None]
+            ny = pcl[10, :][:, None]
+            nz = pcl[11, :][:, None]
+            v0n = pcl[12, :][:, None]
+
+            d_dot_n = dx * nx + dy * ny + dz * nz
+            o_dot_n = ox * nx + oy * ny + oz * nz
+            t = (v0n - o_dot_n) / d_dot_n
+            in_range = (t > t_min) & (t < t_max)
+
+            def corner_xy(vx, vy, vz):
+                ca = sel(vx, vy, vz, perm0) - o_a
+                cb = sel(vx, vy, vz, perm1) - o_b
+                cc = sel(vx, vy, vz, perm2) - o_c
+                return ca + cc * sx, cb + cc * sy
+
+            p0x, p0y = corner_xy(v0x, v0y, v0z)
+            p1x, p1y = corner_xy(v1x, v1y, v1z)
+            p2x, p2y = corner_xy(v2x, v2y, v2z)
+
+            def edge(ax, ay, bx, by):
+                pa = ax * by
+                pb = ay * bx
+                e = pa - pb
+                noise = (jnp.abs(pa) + jnp.abs(pb)) * np.float32(2.0**-22)
+                return jnp.where(jnp.abs(e) <= noise, 0.0, e)
+
+            e0 = edge(p1x, p1y, p2x, p2y)
+            e1 = edge(p2x, p2y, p0x, p0y)
+            e2 = edge(p0x, p0y, p1x, p1y)
+            neg = (e0 < 0) | (e1 < 0) | (e2 < 0)
+            pos = (e0 > 0) | (e1 > 0) | (e2 > 0)
+            hit = (
+                in_range
+                & ~(neg & pos)
+                & (jnp.abs(e0) + jnp.abs(e1) + jnp.abs(e2) != 0.0)
+            )
+            occ_out[:] = jnp.maximum(
+                occ_out[0, :][None, :],
+                jnp.max(hit.astype(jnp.int32), axis=0, keepdims=True),
+            )
+
+        # early-out: the whole block decided => skip remaining clusters
+        return done | (jnp.min(occ_out[0, :]) > 0)
+
+    jax.lax.fori_loop(0, n_clusters, cluster_body, False)
+    occ_out[:] = jnp.where(t_max <= 0.0, 0, occ_out[0, :][None, :])
+
+
+def intersect_clusters_any(o, d, t_min, t_max, accel: ClusterAccel,
+                           block=512, interpret=None):
+    """Boolean occlusion query: any hit with t in (t_min, t_max)?
+
+    Same predicate as intersect_clusters(...).tri >= 0, but ~2x cheaper per
+    cluster and with whole-block early-out — the shadow-ray fast path.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n = o.shape[0]
+    pad = (-n) % block
+    if pad:
+        o = jnp.concatenate([o, jnp.zeros((pad, 3))])
+        d = jnp.concatenate([d, jnp.ones((pad, 3))])
+        t_min = jnp.concatenate([t_min, jnp.zeros(pad)])
+        t_max = jnp.concatenate([t_max, jnp.zeros(pad)])
+    shear = ray_shear(d)
+
+    rays = jnp.stack(
+        [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2], t_min, t_max]
+    )
+    sel = jnp.stack(
+        [
+            shear.perm[:, 0].astype(jnp.float32),
+            shear.perm[:, 1].astype(jnp.float32),
+            shear.perm[:, 2].astype(jnp.float32),
+            shear.sx,
+            shear.sy,
+        ]
+    )
+
+    mask = block_cluster_mask(o, d, t_max, accel.cl_lo, accel.cl_hi, block)
+    n_words = -(-accel.n_clusters // 32)
+    pad_c = n_words * 32 - accel.n_clusters
+    if pad_c:
+        mask = jnp.concatenate(
+            [mask, jnp.zeros((mask.shape[0], pad_c), bool)], axis=1
+        )
+    bits = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None, :]
+    packed = jnp.sum(
+        mask.reshape(mask.shape[0], n_words, 32).astype(jnp.uint32) * bits,
+        axis=-1,
+        dtype=jnp.uint32,
+    ).T
+
+    grid = ((n + pad) // block,)
+    row_blk = lambda h: pl.BlockSpec((h, block), lambda i, m: (0, i),
+                                     memory_space=pltpu.VMEM)
+    out_blk = pl.BlockSpec((1, block), lambda i, m: (0, i),
+                           memory_space=pltpu.VMEM)
+
+    occ = pl.pallas_call(
+        functools.partial(_kernel_any, n_clusters=accel.n_clusters),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                row_blk(8),
+                row_blk(5),
+                pl.BlockSpec(accel.planes.shape, lambda i, m: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[out_blk],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        out_shape=[jax.ShapeDtypeStruct((1, n + pad), jnp.int32)],
+        interpret=interpret,
+    )(packed, rays, sel, accel.planes)[0]
+    return occ[0, :n] != 0
+
+
 def intersect_clusters(o, d, t_min, t_max, accel: ClusterAccel,
                        block=512, interpret=None):
     """Nearest-hit over the clustered scene.  Returns a Hit (original ids).

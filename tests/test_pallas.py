@@ -85,6 +85,38 @@ def test_finite_tmax_respected():
     assert (np.asarray(near.tri) == -1).all()
 
 
+@pytest.mark.parametrize("n_tris", [5, 700])
+def test_anyhit_matches_closest_hit_validity(n_tris):
+    """The occlusion kernel's boolean == closest-hit validity, including
+    finite per-ray t_max (the shadow-ray use: t_max = light distance) and
+    culled lanes parked with t_max = 0."""
+    from nart_tpu.pallas_accel import intersect_clusters_any
+
+    rng = np.random.default_rng(n_tris + 1)
+    tri_v = _random_tris(n_tris, rng)
+    acc = build_clusters(tri_v)
+    n = 512
+    o, d = _random_rays(n, rng)
+    t_min = np.full(n, 1e-4, np.float32)
+    t_max = np.where(
+        rng.random(n) < 0.25,
+        0.0,  # culled/parked shadow lanes
+        rng.exponential(5.0, n),
+    ).astype(np.float32)
+
+    hp = intersect_clusters(
+        jnp.asarray(o), jnp.asarray(d), jnp.asarray(t_min),
+        jnp.asarray(t_max), acc, block=128, interpret=True,
+    )
+    occ = intersect_clusters_any(
+        jnp.asarray(o), jnp.asarray(d), jnp.asarray(t_min),
+        jnp.asarray(t_max), acc, block=128, interpret=True,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(occ), np.asarray(hp.tri) >= 0
+    )
+
+
 def test_block_mask_is_conservative():
     """Every actual hit's cluster must be visible in its ray's block mask."""
     rng = np.random.default_rng(3)
