@@ -131,25 +131,42 @@ def tap_weights(jitter, filter_width, table, filter_bounds):
     return w * mask
 
 
-def accumulate_windows(film, vals, render_w, render_h):
-    """Merge per-lane (N, K, K, 5) tap windows into the film buffer.
+def window_sum(vals, render_w, render_h):
+    """Overlap-add per-lane (N, K, K, 5) tap windows into a dense grid.
 
-    Lane i is pixel (i % render_w, i // render_w); tap (dy, dx) adds to
-    total-image pixel (pixel + dy, pixel + dx).  (2*fb+1)^2 statically
-    shifted dense adds — the TPU-friendly replacement for a scatter-add.
+    Lane i is pixel (i % render_w, i // render_w) of the lane grid; tap
+    (dy, dx) adds to grid pixel (pixel + dy, pixel + dx).  Returns the
+    (render_h + K, render_w + K, 5) accumulator (valid data in the first
+    render_h + K - 1 / render_w + K - 1 rows/cols).  (2*fb+1)^2 statically
+    shifted dense adds — the TPU-friendly replacement for a scatter-add —
+    shared by the single-chip and sharded splat paths.
     """
-    h_tot, w_tot, _ = film.shape
     k = vals.shape[1]
     img = vals.reshape(render_h, render_w, k, k, 5)
-    # padded accumulator: taps can run off the film edge (the reference
-    # drops them at tile merge, render.cpp:192-193); the crop does the same
-    acc = jnp.zeros((h_tot + k, w_tot + k, 5), film.dtype)
+    acc = jnp.zeros((render_h + k, render_w + k, 5), vals.dtype)
     for dy in range(k):
         for dx in range(k):
             acc = acc.at[dy : dy + render_h, dx : dx + render_w].add(
                 img[:, :, dy, dx]
             )
-    return film + acc[:h_tot, :w_tot]
+    return acc
+
+
+def accumulate_windows(film, vals, render_w, render_h):
+    """Merge per-lane (N, K, K, 5) tap windows into the film buffer.
+
+    Taps can run off the film edge (the reference drops them at tile merge,
+    render.cpp:192-193); the crop below does the same.
+    """
+    h_tot, w_tot, _ = film.shape
+    acc = window_sum(vals, render_w, render_h)[:h_tot, :w_tot]
+    pad_h = h_tot - acc.shape[0]
+    pad_w = w_tot - acc.shape[1]
+    if pad_h > 0 or pad_w > 0:
+        acc = jnp.pad(
+            acc, ((0, max(pad_h, 0)), (0, max(pad_w, 0)), (0, 0))
+        )
+    return film + acc
 
 
 def splat_grid(

@@ -165,7 +165,7 @@ def _render_sharded_balanced(
         )
 
         table = jnp.asarray(film_mod.filter_table())
-        acc = jnp.zeros((rows + k, total_w + k, 5), jnp.float32)
+        acc = jnp.zeros((rows + k, render_w + k, 5), jnp.float32)
         for s in range(spp):
             w = film_mod.tap_weights(
                 samples[s], params.filter_width, table, fb
@@ -174,14 +174,12 @@ def _render_sharded_balanced(
                 [la[s][:, None, None, :] * w[..., None], w[..., None]], -1
             )
             vals = jnp.where(real[:, None, None, None], vals, 0.0)
-            img = vals.reshape(rows, render_w, k, k, 5)
-            for dy in range(k):
-                for dx in range(k):
-                    acc = acc.at[dy : dy + rows, dx : dx + render_w].add(
-                        img[:, :, dy, dx]
-                    )
+            # one shared overlap-add path with the single-chip splat
+            acc = acc + film_mod.window_sum(vals, render_w, rows)
         film_pad = jnp.zeros((rows_total + k, total_w + k, 5), jnp.float32)
-        film_pad = jax.lax.dynamic_update_slice(film_pad, acc, (row0, 0, 0))
+        film_pad = jax.lax.dynamic_update_slice(
+            film_pad, acc[:, : total_w + k], (row0, 0, 0)
+        )
         film_pad = jax.lax.psum(film_pad, axis)
         return film_pad[:total_h, :total_w]
 
