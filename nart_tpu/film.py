@@ -88,85 +88,95 @@ def splat(film, coords, l_alpha, filter_width, table):
     return film_flat.reshape(h_tot, w_tot, 5)
 
 
+def _tap_weight(sx, sy, x0, y0, x1, y1, dx, dy, fw, table):
+    """Weight of the single tap (dy, dx) for every lane: (N,) shapes only.
+
+    Same math as splat() (AddSample parity, render.cpp:23-70), evaluated one
+    static tap at a time — the (N, K, K, 64) one-hot table contraction of
+    the previous formulation sent XLA:TPU's layout assignment into
+    multi-minute (100-400 s) compiles; 1-D per-tap lookups compile in
+    seconds and run at the same speed.
+    """
+    fdx, fdy = np.float32(dx), np.float32(dy)
+    mask = (fdx >= x0) & (fdx < x1) & (fdy >= y0) & (fdy < y1)
+    dist = jnp.sqrt((fdx + 0.5 - sx) ** 2 + (fdy + 0.5 - sy) ** 2)
+    idx = ((dist / fw) * FILTER_TABLE_RES).astype(jnp.int32) & 0xFF  # u8 cast
+    idx = jnp.minimum(idx, FILTER_TABLE_RES - 1)
+    # one-hot contraction instead of a gather: bit-identical values, but
+    # fusable (a gather inside a while_loop body also stalled layout)
+    onehot = idx[..., None] == jnp.arange(FILTER_TABLE_RES, dtype=jnp.int32)
+    w = jnp.sum(jnp.where(onehot, table, 0.0), axis=-1)
+    return w * mask.astype(jnp.float32)
+
+
+def _sample_window(jitter, filter_width, filter_bounds):
+    """Per-lane sample position + tap bounds in window coords: (N,) each."""
+    fw = np.float32(filter_width)
+    sx = np.float32(filter_bounds) + jitter[..., 0]
+    sy = np.float32(filter_bounds) + jitter[..., 1]
+    return (
+        sx, sy,
+        jnp.floor(sx - fw), jnp.floor(sy - fw),
+        jnp.ceil(sx + fw), jnp.ceil(sy + fw),
+    )
+
+
 def tap_weights(jitter, filter_width, table, filter_bounds):
     """Per-lane (N, K, K) Gaussian tap weights around the lane's own pixel.
 
     Tap (dy, dx) covers total-image pixel (pixel + dy, pixel + dx); the
-    sample sits at pixel + filter_bounds + jitter in total coords.  Same
-    weight math as splat() (AddSample parity, render.cpp:23-70).
+    sample sits at pixel + filter_bounds + jitter in total coords.
     """
     fw = np.float32(filter_width)
-    fb = filter_bounds
-    k = 2 * fb + 1  # window: tap j covers pixel+j in total coords
-
-    jx = jitter[..., 0]
-    jy = jitter[..., 1]
-    # sample position relative to the window origin (= pixel) in total coords
-    sx = np.float32(fb) + jx  # (N,)
-    sy = np.float32(fb) + jy
-    x0 = jnp.floor(sx - fw)
-    y0 = jnp.floor(sy - fw)
-    x1 = jnp.ceil(sx + fw)
-    y1 = jnp.ceil(sy + fw)
-
-    taps = jnp.arange(k, dtype=jnp.float32)
-    tx = taps[None, :]  # (1, K) tap x offset from pixel
-    ty = taps[None, :]
-    mx = (tx >= x0[:, None]) & (tx < x1[:, None])  # (N, K)
-    my = (ty >= y0[:, None]) & (ty < y1[:, None])
-    mask = (mx[:, None, :] & my[:, :, None]).astype(jnp.float32)  # (N, K, K)
-
-    dist_x = tx + 0.5 - sx[:, None]  # (N, K)
-    dist_y = ty + 0.5 - sy[:, None]
-    dist = jnp.sqrt(
-        dist_x[:, None, :] ** 2 + dist_y[:, :, None] ** 2
-    )  # (N, K, K)
-    idx = ((dist / fw) * FILTER_TABLE_RES).astype(jnp.int32) & 0xFF
-    idx = jnp.minimum(idx, FILTER_TABLE_RES - 1)
-    # one-hot contraction instead of a gather: bit-identical values, but
-    # fusable (a (N,K,K) gather inside a while_loop body sent XLA:TPU's
-    # layout pass into a multi-minute compile)
-    onehot = idx[..., None] == jnp.arange(FILTER_TABLE_RES, dtype=jnp.int32)
-    w = jnp.sum(jnp.where(onehot, table, 0.0), axis=-1)
-    return w * mask
+    k = 2 * filter_bounds + 1
+    sx, sy, x0, y0, x1, y1 = _sample_window(jitter, filter_width, filter_bounds)
+    rows = [
+        jnp.stack(
+            [_tap_weight(sx, sy, x0, y0, x1, y1, dx, dy, fw, table)
+             for dx in range(k)],
+            axis=-1,
+        )
+        for dy in range(k)
+    ]
+    return jnp.stack(rows, axis=-2)  # (N, K, K)
 
 
-def window_sum(vals, render_w, render_h):
-    """Overlap-add per-lane (N, K, K, 5) tap windows into a dense grid.
+def splat_windows(
+    jitter, l_alpha, filter_width, table, render_w, render_h, filter_bounds,
+    real_mask=None,
+):
+    """Fused tap-weight + overlap-add splat for grid lanes.
 
-    Lane i is pixel (i % render_w, i // render_w) of the lane grid; tap
-    (dy, dx) adds to grid pixel (pixel + dy, pixel + dx).  Returns the
-    (render_h + K, render_w + K, 5) accumulator (valid data in the first
-    render_h + K - 1 / render_w + K - 1 rows/cols).  (2*fb+1)^2 statically
-    shifted dense adds — the TPU-friendly replacement for a scatter-add —
-    shared by the single-chip and sharded splat paths.
+    Lane i is pixel (i % render_w, i // render_w); its sample sits at
+    pixel + filter_bounds + jitter.  Each of the (2*fb+1)^2 taps computes
+    its (N,) weight and adds the shifted (render_h, render_w, 5) image —
+    no (N, K, K, 5) intermediate, trivially laid out by the compiler.
+    Returns the (render_h + K, render_w + K, 5) accumulator (valid data in
+    the first render_h + K - 1 / render_w + K - 1 rows/cols), the same
+    contract as window_sum.  real_mask (N,) optionally zeroes padding lanes
+    (the sharded slab path).
     """
-    k = vals.shape[1]
-    img = vals.reshape(render_h, render_w, k, k, 5)
-    acc = jnp.zeros((render_h + k, render_w + k, 5), vals.dtype)
+    fw = np.float32(filter_width)
+    k = 2 * filter_bounds + 1
+    # (S, N, ...) batches (the per-chunk spp axis) fold into one tap loop:
+    # the S per-tap images sum before the shifted add, so the whole chunk
+    # costs one K^2 loop instead of S of them (compile size and runtime)
+    if l_alpha.ndim == 2:
+        jitter = jitter[None]
+        l_alpha = l_alpha[None]
+    s_dim = l_alpha.shape[0]
+    sx, sy, x0, y0, x1, y1 = _sample_window(jitter, filter_width, filter_bounds)
+    acc = jnp.zeros((render_h + k, render_w + k, 5), jnp.float32)
     for dy in range(k):
         for dx in range(k):
-            acc = acc.at[dy : dy + render_h, dx : dx + render_w].add(
-                img[:, :, dy, dx]
-            )
+            w = _tap_weight(sx, sy, x0, y0, x1, y1, dx, dy, fw, table)
+            if real_mask is not None:
+                w = jnp.where(real_mask, w, 0.0)
+            img = jnp.concatenate(
+                [l_alpha * w[..., None], w[..., None]], axis=-1
+            ).reshape(s_dim, render_h, render_w, 5).sum(axis=0)
+            acc = acc.at[dy : dy + render_h, dx : dx + render_w].add(img)
     return acc
-
-
-def accumulate_windows(film, vals, render_w, render_h):
-    """Merge per-lane (N, K, K, 5) tap windows into the film buffer.
-
-    Taps can run off the film edge (the reference drops them at tile merge,
-    render.cpp:192-193); the crop below does the same.
-    """
-    h_tot, w_tot, _ = film.shape
-    acc = window_sum(vals, render_w, render_h)[:h_tot, :w_tot]
-    pad_h = h_tot - acc.shape[0]
-    pad_w = w_tot - acc.shape[1]
-    if pad_h > 0 or pad_w > 0:
-        acc = jnp.pad(
-            acc, ((0, max(pad_h, 0)), (0, max(pad_w, 0)), (0, 0))
-        )
-    return film + acc
 
 
 def splat_grid(
@@ -180,12 +190,23 @@ def splat_grid(
     (2*fb+1)^2 statically-shifted dense adds — the scatter was the dominant
     DMA cost of a render step on TPU.  Lane i is pixel (i % render_w,
     i // render_w); its sample coord is pixel + filter_bounds + jitter.
+
+    Taps can run off the film edge (the reference drops them at tile merge,
+    render.cpp:192-193); the crop below does the same.
     """
-    w = tap_weights(jitter, filter_width, table, filter_bounds)
-    vals = jnp.concatenate(
-        [l_alpha[:, None, None, :] * w[..., None], w[..., None]], axis=-1
-    )  # (N, K, K, 5)
-    return accumulate_windows(film, vals, render_w, render_h)
+    acc = splat_windows(
+        jitter, l_alpha, filter_width, table, render_w, render_h,
+        filter_bounds,
+    )
+    h_tot, w_tot, _ = film.shape
+    acc = acc[:h_tot, :w_tot]
+    pad_h = h_tot - acc.shape[0]
+    pad_w = w_tot - acc.shape[1]
+    if pad_h > 0 or pad_w > 0:
+        acc = jnp.pad(
+            acc, ((0, max(pad_h, 0)), (0, max(pad_w, 0)), (0, 0))
+        )
+    return film + acc
 
 
 def finalize(film, image_width, image_height, filter_bounds):

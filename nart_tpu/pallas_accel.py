@@ -1,4 +1,4 @@
-"""Pallas TPU intersection kernel: Morton-clustered culling traversal.
+"""Pallas TPU intersection kernel: Morton-clustered front-to-back traversal.
 
 Role parity: the BVH acceleration structure (reference src/core/bvh.cpp)
 re-designed for the TPU execution model.  Pointer-chasing per-ray traversal
@@ -10,13 +10,17 @@ is hostile to the VPU; instead:
     unnormalised geometric normal and v0.n (hoisting the cross product out
     of the kernel).  Every in-kernel tensor is then a natural (R, 128) tile;
   * ray *blocks* are tested against cluster AABBs with conservative
-    interval arithmetic, vectorised in XLA as a (n_blocks, n_clusters)
-    `may_hit` mask before the kernel launches;
-  * the kernel handles one ray block per grid step, loops over clusters,
-    and `@pl.when(may_hit[c])` skips the watertight test for culled
-    clusters: per-block work scales with what the block can see, not with
-    scene size.  Control flow stays block-uniform — the TPU-friendly
-    traversal shape — and triangle loads are contiguous row slices.
+    interval arithmetic, vectorised in XLA before the kernel launches, and
+    compacted into a per-block visit list SORTED by the block's entry-t
+    lower bound (front-to-back) — the data-parallel analog of the
+    reference's priority-queue BV walk (bvh.cpp:132-176);
+  * the kernel handles one ray block per grid step and loops over ONLY the
+    visible clusters (`while k < count[blk]`).  Each visited cluster is
+    first slab-tested per ray against the current t_best window (~1/100 the
+    cost of the triangle test); the 128-triangle watertight test runs only
+    when some ray can still be improved, and the loop exits outright once
+    the next cluster's entry lower bound exceeds every ray's t_best — the
+    early-exit of a priority-queue traversal, block-uniform.
 
 The watertight test matches geometry.intersect_chunk (geometry.cpp:32-115
 parity, including the FMA-noise snap in the edge functions).
@@ -49,7 +53,8 @@ class ClusterAccel:
 
     planes: Any  # (13, n_clusters, CLUSTER): v0x v0y v0z v1x..v2z nx ny nz v0n
     order: Any  # (n_clusters * CLUSTER,) int32 original tri id (-1 padding)
-    cl_lo: Any  # (n_clusters, 3)
+    aabb: Any  # (6, n_clusters): lox loy loz hix hiy hiz (lane-major layout)
+    cl_lo: Any  # (n_clusters, 3) — kept for oracle/mask tests
     cl_hi: Any  # (n_clusters, 3)
     n_clusters: int
     n_tris: int
@@ -88,53 +93,68 @@ def build_clusters(tri_v: np.ndarray) -> ClusterAccel:
     hi_p = np.full((t_pad, 3), -INF, np.float32)
     lo_p[:t] = lo[order]
     hi_p[:t] = hi[order]
+    cl_lo = lo_p.reshape(n_cl, CLUSTER, 3).min(axis=1)
+    cl_hi = hi_p.reshape(n_cl, CLUSTER, 3).max(axis=1)
     return ClusterAccel(
         planes=jnp.asarray(planes.astype(np.float32)),
         order=jnp.asarray(order_p),
-        cl_lo=jnp.asarray(lo_p.reshape(n_cl, CLUSTER, 3).min(axis=1)),
-        cl_hi=jnp.asarray(hi_p.reshape(n_cl, CLUSTER, 3).max(axis=1)),
+        aabb=jnp.asarray(
+            np.concatenate([cl_lo.T, cl_hi.T], axis=0).astype(np.float32)
+        ),
+        cl_lo=jnp.asarray(cl_lo),
+        cl_hi=jnp.asarray(cl_hi),
         n_clusters=n_cl,
         n_tris=t,
     )
 
 
-def block_cluster_mask(o, d, t_max, cl_lo, cl_hi, block):
-    """Conservative (n_blocks, n_clusters) visibility mask, vectorised.
+def _block_cluster_bounds(o, d, t_max, aabb, block):
+    """Conservative per-(block, cluster) visibility + entry-t lower bound.
 
     Interval-arithmetic slab test between each ray block's bounds and each
     cluster AABB; axes whose direction interval spans zero give no
-    constraint.
+    constraint.  All arrays are laid out with the cluster axis minor
+    (lane dimension) — a (..., 3) minor axis wastes 125/128 lanes per tile
+    on TPU and measured 26 ms where this version is ~1 ms.
+
+    Returns (visible (nb, nc) bool, entry_lb (nb, nc) f32).
     """
     nb = o.shape[0] // block
-    ob = o.reshape(nb, block, 3)
-    db = d.reshape(nb, block, 3)
-    o_lo = ob.min(axis=1)
-    o_hi = ob.max(axis=1)
-    d_lo = db.min(axis=1)
-    d_hi = db.max(axis=1)
-    tmax_ub = t_max.reshape(nb, block).max(axis=1)
+    oT = o.T.reshape(3, nb, block)
+    dT = d.T.reshape(3, nb, block)
+    o_lo = oT.min(axis=2)  # (3, nb)
+    o_hi = oT.max(axis=2)
+    d_lo = dT.min(axis=2)
+    d_hi = dT.max(axis=2)
+    tmax_ub = t_max.reshape(nb, block).max(axis=1)  # (nb,)
 
-    spans0 = (d_lo <= 0.0) & (d_hi >= 0.0)
-    il = 1.0 / jnp.where(spans0, 1.0, d_hi)
-    ih = 1.0 / jnp.where(spans0, 1.0, d_lo)
+    enter_lb = jnp.full((nb, aabb.shape[1]), -INF, jnp.float32)
+    exit_ub = jnp.full((nb, aabb.shape[1]), INF, jnp.float32)
+    for k in range(3):
+        spans0 = (d_lo[k] <= 0.0) & (d_hi[k] >= 0.0)  # (nb,)
+        il = (1.0 / jnp.where(spans0, 1.0, d_hi[k]))[:, None]
+        ih = (1.0 / jnp.where(spans0, 1.0, d_lo[k]))[:, None]
+        a_lo = aabb[k][None, :] - o_hi[k][:, None]  # (nb, nc)
+        a_hi = aabb[k][None, :] - o_lo[k][:, None]
+        b_lo = aabb[k + 3][None, :] - o_hi[k][:, None]
+        b_hi = aabb[k + 3][None, :] - o_lo[k][:, None]
+        c0, c1 = a_lo * il, a_lo * ih
+        c2, c3 = a_hi * il, a_hi * ih
+        c4, c5 = b_lo * il, b_lo * ih
+        c6, c7 = b_hi * il, b_hi * ih
+        t_lo = jnp.minimum(
+            jnp.minimum(jnp.minimum(c0, c1), jnp.minimum(c2, c3)),
+            jnp.minimum(jnp.minimum(c4, c5), jnp.minimum(c6, c7)),
+        )
+        t_hi = jnp.maximum(
+            jnp.maximum(jnp.maximum(c0, c1), jnp.maximum(c2, c3)),
+            jnp.maximum(jnp.maximum(c4, c5), jnp.maximum(c6, c7)),
+        )
+        sp = spans0[:, None]
+        enter_lb = jnp.maximum(enter_lb, jnp.where(sp, -INF, t_lo))
+        exit_ub = jnp.minimum(exit_ub, jnp.where(sp, INF, t_hi))
 
-    a_lo = cl_lo[None] - o_hi[:, None]
-    a_hi = cl_lo[None] - o_lo[:, None]
-    b_lo = cl_hi[None] - o_hi[:, None]
-    b_hi = cl_hi[None] - o_lo[:, None]
-    cands = jnp.stack(
-        [
-            a_lo * il[:, None], a_lo * ih[:, None],
-            a_hi * il[:, None], a_hi * ih[:, None],
-            b_lo * il[:, None], b_lo * ih[:, None],
-            b_hi * il[:, None], b_hi * ih[:, None],
-        ]
-    )
-    t_lo = jnp.where(spans0[:, None], -INF, cands.min(axis=0))
-    t_hi = jnp.where(spans0[:, None], INF, cands.max(axis=0))
-    enter_lb = t_lo.max(axis=-1)
-    exit_ub = t_hi.min(axis=-1)
-    return (
+    visible = (
         (enter_lb <= exit_ub)
         & (exit_ub >= 0.0)
         & (enter_lb <= tmax_ub[:, None])
@@ -143,156 +163,42 @@ def block_cluster_mask(o, d, t_max, cl_lo, cl_hi, block):
         # lanes whose direction intervals span zero on every axis
         & (tmax_ub[:, None] > 0.0)
     )
+    return visible, enter_lb
 
 
-def _kernel(
-    mask_ref,  # (ceil(n_clusters/32), n_blocks) uint32, scalar-prefetched
-    # to SMEM.  Bit c%32 of word [c//32, blk] = cluster c visible to block
-    # blk.  Bit-packed over clusters so the SMEM footprint stays ~blocks *
-    # clusters/32 bytes (a flat i32 mask blew v5e's 1 MB SMEM at ~100k
-    # triangles).
-    ray_ref,  # (8, R): ox oy oz dx dy dz tmin tmax
-    sel_ref,  # (5, R): onehot-free per-ray selection data (see below)
-    planes_ref,  # (13, n_clusters, CLUSTER)
-    t_out,  # (1, R)
-    idx_out,  # (1, R) int32
-    u_out,
-    v_out,
-    *,
-    n_clusters,
-):
-    blk = pl.program_id(0)
-    ox = ray_ref[0, :][None, :]  # (1, R)
-    oy = ray_ref[1, :][None, :]
-    oz = ray_ref[2, :][None, :]
-    dx = ray_ref[3, :][None, :]
-    dy = ray_ref[4, :][None, :]
-    dz = ray_ref[5, :][None, :]
-    t_min = ray_ref[6, :][None, :]
-    perm0 = sel_ref[0, :][None, :]
-    perm1 = sel_ref[1, :][None, :]
-    perm2 = sel_ref[2, :][None, :]
-    sx = sel_ref[3, :][None, :]
-    sy = sel_ref[4, :][None, :]
+def block_cluster_mask(o, d, t_max, cl_lo, cl_hi, block):
+    """Conservative (n_blocks, n_clusters) visibility mask (oracle surface).
 
-    def sel(x, y, z, axis):  # components (1,R), axis (1,R) -> (1,R)
-        return jnp.where(axis == 0.0, x, jnp.where(axis == 1.0, y, z))
-
-    o_a = sel(ox, oy, oz, perm0)
-    o_b = sel(ox, oy, oz, perm1)
-    o_c = sel(ox, oy, oz, perm2)
-
-    t_out[:] = ray_ref[7, :][None, :]
-    idx_out[:] = jnp.full(t_out.shape, -1, jnp.int32)
-    u_out[:] = jnp.zeros(t_out.shape, jnp.float32)
-    v_out[:] = jnp.zeros(t_out.shape, jnp.float32)
-
-    r = ox.shape[1]
-
-    def cluster_body(c, _):
-        word = mask_ref[c >> 5, blk]
-        bit = (word >> (c & 31).astype(jnp.uint32)) & jnp.uint32(1)
-
-        @pl.when(bit != 0)
-        def _():
-            # triangle planes for this cluster: (CLUSTER,) rows -> (C, 1)
-            pcl = planes_ref[:, c, :]  # (13, CLUSTER)
-            v0x = pcl[0, :][:, None]  # (C, 1)
-            v0y = pcl[1, :][:, None]
-            v0z = pcl[2, :][:, None]
-            v1x = pcl[3, :][:, None]
-            v1y = pcl[4, :][:, None]
-            v1z = pcl[5, :][:, None]
-            v2x = pcl[6, :][:, None]
-            v2y = pcl[7, :][:, None]
-            v2z = pcl[8, :][:, None]
-            nx = pcl[9, :][:, None]
-            ny = pcl[10, :][:, None]
-            nz = pcl[11, :][:, None]
-            v0n = pcl[12, :][:, None]
-
-            # (C, R) tiles from here on
-            d_dot_n = dx * nx + dy * ny + dz * nz
-            o_dot_n = ox * nx + oy * ny + oz * nz
-            t = (v0n - o_dot_n) / d_dot_n
-
-            t_best = t_out[0, :][None, :]  # (1, R)
-            in_range = (t > t_min) & (t < t_best)
-
-            def corner_xy(vx, vy, vz):
-                ca = sel(vx, vy, vz, perm0) - o_a
-                cb = sel(vx, vy, vz, perm1) - o_b
-                cc = sel(vx, vy, vz, perm2) - o_c
-                return ca + cc * sx, cb + cc * sy
-
-            p0x, p0y = corner_xy(v0x, v0y, v0z)
-            p1x, p1y = corner_xy(v1x, v1y, v1z)
-            p2x, p2y = corner_xy(v2x, v2y, v2z)
-
-            def edge(ax, ay, bx, by):
-                pa = ax * by
-                pb = ay * bx
-                e = pa - pb
-                noise = (jnp.abs(pa) + jnp.abs(pb)) * np.float32(2.0**-22)
-                return jnp.where(jnp.abs(e) <= noise, 0.0, e)
-
-            e0 = edge(p1x, p1y, p2x, p2y)
-            e1 = edge(p2x, p2y, p0x, p0y)
-            e2 = edge(p0x, p0y, p1x, p1y)
-            neg = (e0 < 0) | (e1 < 0) | (e2 < 0)
-            pos = (e0 > 0) | (e1 > 0) | (e2 > 0)
-            hit = (
-                in_range
-                & ~(neg & pos)
-                & (jnp.abs(e0) + jnp.abs(e1) + jnp.abs(e2) != 0.0)
-            )
-
-            # reduction argmin over the C (sublane) axis
-            t_hit = jnp.where(hit, t, INF)
-            t_sel = jnp.min(t_hit, axis=0, keepdims=True)  # (1, R)
-            rows = jax.lax.broadcasted_iota(jnp.int32, t_hit.shape, 0)
-            best = jnp.min(
-                jnp.where(t_hit == t_sel, rows, jnp.int32(CLUSTER + 1)),
-                axis=0,
-                keepdims=True,
-            )
-            onehot = (rows == best) & (t_hit == t_sel)
-            esum = jnp.sum(jnp.where(onehot, e0 + e1 + e2, 0.0), 0, keepdims=True)
-            e0s = jnp.sum(jnp.where(onehot, e0, 0.0), 0, keepdims=True)
-            e1s = jnp.sum(jnp.where(onehot, e1, 0.0), 0, keepdims=True)
-            better = t_sel < t_best
-            inv_det = 1.0 / jnp.where(esum == 0.0, 1.0, esum)
-            t_out[:] = jnp.where(better, t_sel, t_best)
-            idx_out[:] = jnp.where(
-                better,
-                c * CLUSTER + best,
-                idx_out[0, :][None, :],
-            )
-            u_out[:] = jnp.where(better, e0s * inv_det, u_out[0, :][None, :])
-            v_out[:] = jnp.where(better, e1s * inv_det, v_out[0, :][None, :])
-
-    jax.lax.fori_loop(0, n_clusters, cluster_body, None)
-
-
-def _kernel_any(
-    mask_ref,  # (ceil(n_clusters/32), n_blocks) uint32, scalar-prefetched
-    ray_ref,  # (8, R): ox oy oz dx dy dz tmin tmax
-    sel_ref,  # (5, R): watertight permute/shear selection data
-    planes_ref,  # (13, n_clusters, CLUSTER)
-    occ_out,  # (1, R) int32: 1 iff any hit with t in (tmin, tmax)
-    *,
-    n_clusters,
-):
-    """Any-hit (occlusion) variant of _kernel.
-
-    Shadow rays only need a boolean, so the per-cluster argmin/barycentric
-    bookkeeping of the closest-hit kernel is dropped (one any-reduce per
-    cluster), and the cluster loop early-outs once every ray in the block
-    is occluded — shadow rays toward the same light saturate fast.
-    Occlusion predicate matches the closest-hit kernel's hit.valid exactly:
-    any watertight hit with t strictly inside (t_min, t_max).
+    Thin wrapper over _block_cluster_bounds for tests/tools that only need
+    the boolean mask; the traversal itself uses build_block_lists.
     """
-    blk = pl.program_id(0)
+    aabb = jnp.concatenate([cl_lo.T, cl_hi.T], axis=0)
+    visible, _ = _block_cluster_bounds(o, d, t_max, aabb, block)
+    return visible
+
+
+def build_block_lists(o, d, t_max, accel: ClusterAccel, block):
+    """Compacted front-to-back per-block cluster visit lists.
+
+    Returns (cl_list (nb, nc) int32 — visible cluster ids sorted by the
+    block's entry-t lower bound, padding after count; cl_entry (nb, nc)
+    f32 — the sorted entry lower bounds, +inf padding; cl_count (nb,)
+    int32).
+    """
+    visible, entry_lb = _block_cluster_bounds(o, d, t_max, accel.aabb, block)
+    key = jnp.where(visible, entry_lb, INF)
+    cl_list = jnp.argsort(key, axis=1).astype(jnp.int32)
+    cl_entry = jnp.take_along_axis(key, cl_list, axis=1)
+    cl_count = visible.sum(axis=1).astype(jnp.int32)
+    # (nb, 1, nc): Mosaic requires the last two block dims be (8, 128)-
+    # divisible or span the array, so the per-block SMEM row rides a
+    # singleton middle axis
+    nb, nc = cl_list.shape
+    return cl_list.reshape(nb, 1, nc), cl_entry.reshape(nb, 1, nc), cl_count
+
+
+def _ray_vectors(ray_ref, sel_ref):
+    """Unpack the (8, R)/(5, R) ray rows into (1, R) vectors."""
     ox = ray_ref[0, :][None, :]
     oy = ray_ref[1, :][None, :]
     oz = ray_ref[2, :][None, :]
@@ -306,93 +212,244 @@ def _kernel_any(
     perm2 = sel_ref[2, :][None, :]
     sx = sel_ref[3, :][None, :]
     sy = sel_ref[4, :][None, :]
+    return ox, oy, oz, dx, dy, dz, t_min, t_max, perm0, perm1, perm2, sx, sy
 
-    def sel(x, y, z, axis):
-        return jnp.where(axis == 0.0, x, jnp.where(axis == 1.0, y, z))
 
-    o_a = sel(ox, oy, oz, perm0)
-    o_b = sel(ox, oy, oz, perm1)
-    o_c = sel(ox, oy, oz, perm2)
+def _sel(x, y, z, axis):  # components (1,R), axis (1,R) -> (1,R)
+    return jnp.where(axis == 0.0, x, jnp.where(axis == 1.0, y, z))
+
+
+def _watertight(pcl, rv):
+    """Watertight permute-shear test of one cluster against the ray block.
+
+    pcl: (13, CLUSTER) coordinate planes.  rv: the _ray_vectors tuple.
+    Returns (hit (C,R) bool sans t-window, t (C,R), e0, e1, esum).
+    The caller applies its own t-range predicate.
+    """
+    ox, oy, oz, dx, dy, dz, _, _, perm0, perm1, perm2, sx, sy = rv
+    v0x = pcl[0, :][:, None]  # (C, 1)
+    v0y = pcl[1, :][:, None]
+    v0z = pcl[2, :][:, None]
+    v1x = pcl[3, :][:, None]
+    v1y = pcl[4, :][:, None]
+    v1z = pcl[5, :][:, None]
+    v2x = pcl[6, :][:, None]
+    v2y = pcl[7, :][:, None]
+    v2z = pcl[8, :][:, None]
+    nx = pcl[9, :][:, None]
+    ny = pcl[10, :][:, None]
+    nz = pcl[11, :][:, None]
+    v0n = pcl[12, :][:, None]
+
+    # (C, R) tiles from here on
+    d_dot_n = dx * nx + dy * ny + dz * nz
+    o_dot_n = ox * nx + oy * ny + oz * nz
+    t = (v0n - o_dot_n) / d_dot_n
+
+    o_a = _sel(ox, oy, oz, perm0)
+    o_b = _sel(ox, oy, oz, perm1)
+    o_c = _sel(ox, oy, oz, perm2)
+
+    def corner_xy(vx, vy, vz):
+        ca = _sel(vx, vy, vz, perm0) - o_a
+        cb = _sel(vx, vy, vz, perm1) - o_b
+        cc = _sel(vx, vy, vz, perm2) - o_c
+        return ca + cc * sx, cb + cc * sy
+
+    p0x, p0y = corner_xy(v0x, v0y, v0z)
+    p1x, p1y = corner_xy(v1x, v1y, v1z)
+    p2x, p2y = corner_xy(v2x, v2y, v2z)
+
+    def edge(ax, ay, bx, by):
+        pa = ax * by
+        pb = ay * bx
+        e = pa - pb
+        noise = (jnp.abs(pa) + jnp.abs(pb)) * np.float32(2.0**-22)
+        return jnp.where(jnp.abs(e) <= noise, 0.0, e)
+
+    e0 = edge(p1x, p1y, p2x, p2y)
+    e1 = edge(p2x, p2y, p0x, p0y)
+    e2 = edge(p0x, p0y, p1x, p1y)
+    neg = (e0 < 0) | (e1 < 0) | (e2 < 0)
+    pos = (e0 > 0) | (e1 > 0) | (e2 > 0)
+    hit = ~(neg & pos) & (jnp.abs(e0) + jnp.abs(e1) + jnp.abs(e2) != 0.0)
+    return hit, t, e0, e1, e0 + e1 + e2
+
+
+def _cluster_slab(aabb_ref, c, rv, inv_x, inv_y, inv_z, t_lo, t_hi):
+    """Per-ray slab test of cluster c's AABB against the (t_lo, t_hi) window.
+
+    Scalars come from the prefetched (6, nc) AABB planes; all vector math is
+    (1, R).  Conservative: zero direction components use a tiny magnitude
+    instead of infinities, so on-slab origins never cull (no 0*inf NaNs).
+    """
+    ox, oy, oz = rv[0], rv[1], rv[2]
+    lox, loy, loz = aabb_ref[0, c], aabb_ref[1, c], aabb_ref[2, c]
+    hix, hiy, hiz = aabb_ref[3, c], aabb_ref[4, c], aabb_ref[5, c]
+    ax0 = (lox - ox) * inv_x
+    ax1 = (hix - ox) * inv_x
+    ay0 = (loy - oy) * inv_y
+    ay1 = (hiy - oy) * inv_y
+    az0 = (loz - oz) * inv_z
+    az1 = (hiz - oz) * inv_z
+    near = jnp.maximum(
+        jnp.maximum(jnp.minimum(ax0, ax1), jnp.minimum(ay0, ay1)),
+        jnp.minimum(az0, az1),
+    )
+    far = jnp.minimum(
+        jnp.minimum(jnp.maximum(ax0, ax1), jnp.maximum(ay0, ay1)),
+        jnp.maximum(az0, az1),
+    )
+    return (jnp.maximum(near, t_lo) <= jnp.minimum(far, t_hi))  # (1, R)
+
+
+def _inv_dir(dx, dy, dz):
+    tiny = np.float32(1e-30)
+    return (
+        1.0 / jnp.where(dx == 0.0, tiny, dx),
+        1.0 / jnp.where(dy == 0.0, tiny, dy),
+        1.0 / jnp.where(dz == 0.0, tiny, dz),
+    )
+
+
+def _kernel(
+    count_ref,  # (n_blocks,) int32, scalar-prefetched to SMEM
+    aabb_ref,  # (6, n_clusters) f32, scalar-prefetched to SMEM
+    ray_ref,  # (8, R): ox oy oz dx dy dz tmin tmax
+    sel_ref,  # (5, R): watertight permute/shear selection data
+    list_ref,  # (1, 1, n_clusters) int32 SMEM row: this block's visit order
+    entry_ref,  # (1, 1, n_clusters) f32 SMEM row: sorted entry lower bounds
+    planes_ref,  # (13, n_clusters, CLUSTER)
+    t_out,  # (1, R)
+    idx_out,  # (1, R) int32
+    u_out,
+    v_out,
+    *,
+    n_clusters,
+):
+    blk = pl.program_id(0)
+    rv = _ray_vectors(ray_ref, sel_ref)
+    t_min = rv[6]
+    inv_x, inv_y, inv_z = _inv_dir(rv[3], rv[4], rv[5])
+
+    t_out[:] = rv[7]
+    idx_out[:] = jnp.full(t_out.shape, -1, jnp.int32)
+    u_out[:] = jnp.zeros(t_out.shape, jnp.float32)
+    v_out[:] = jnp.zeros(t_out.shape, jnp.float32)
+
+    cnt = count_ref[blk]
+
+    def cond(carry):
+        k, stop = carry
+        return (k < cnt) & jnp.logical_not(stop)
+
+    def body(carry):
+        k, _ = carry
+        c = list_ref[0, 0, k]
+        t_best = t_out[0, :][None, :]
+        live = _cluster_slab(aabb_ref, c, rv, inv_x, inv_y, inv_z,
+                             t_min, t_best)
+
+        @pl.when(jnp.any(live))
+        def _():
+            hit, t, e0, e1, esum = _watertight(planes_ref[:, c, :], rv)
+            t_best = t_out[0, :][None, :]
+            hit = hit & (t > t_min) & (t < t_best)
+
+            # reduction argmin over the C (sublane) axis
+            t_hit = jnp.where(hit, t, INF)
+            t_sel = jnp.min(t_hit, axis=0, keepdims=True)  # (1, R)
+            rows = jax.lax.broadcasted_iota(jnp.int32, t_hit.shape, 0)
+            best = jnp.min(
+                jnp.where(t_hit == t_sel, rows, jnp.int32(CLUSTER + 1)),
+                axis=0,
+                keepdims=True,
+            )
+            onehot = (rows == best) & (t_hit == t_sel)
+            esums = jnp.sum(jnp.where(onehot, esum, 0.0), 0, keepdims=True)
+            e0s = jnp.sum(jnp.where(onehot, e0, 0.0), 0, keepdims=True)
+            e1s = jnp.sum(jnp.where(onehot, e1, 0.0), 0, keepdims=True)
+            better = t_sel < t_best
+            inv_det = 1.0 / jnp.where(esums == 0.0, 1.0, esums)
+            t_out[:] = jnp.where(better, t_sel, t_best)
+            idx_out[:] = jnp.where(
+                better,
+                c * CLUSTER + best,
+                idx_out[0, :][None, :],
+            )
+            u_out[:] = jnp.where(better, e0s * inv_det, u_out[0, :][None, :])
+            v_out[:] = jnp.where(better, e1s * inv_det, v_out[0, :][None, :])
+
+        # front-to-back early exit: clusters are visited in ascending
+        # entry-lower-bound order, so once the NEXT entry exceeds every
+        # ray's current t_best, no remaining cluster can improve any hit
+        nk = jnp.minimum(k + 1, n_clusters - 1)
+        stop = entry_ref[0, 0, nk] > jnp.max(t_out[0, :])
+        return k + 1, stop
+
+    jax.lax.while_loop(cond, body, (jnp.int32(0), False))
+
+
+def _kernel_any(
+    count_ref,  # (n_blocks,) int32, scalar-prefetched to SMEM
+    aabb_ref,  # (6, n_clusters) f32, scalar-prefetched to SMEM
+    ray_ref,  # (8, R)
+    sel_ref,  # (5, R)
+    list_ref,  # (1, 1, n_clusters) int32 SMEM row
+    planes_ref,  # (13, n_clusters, CLUSTER)
+    occ_out,  # (1, R) int32: 1 iff any hit with t in (tmin, tmax)
+    *,
+    n_clusters,
+):
+    """Any-hit (occlusion) variant of _kernel.
+
+    Shadow rays only need a boolean, so the per-cluster argmin/barycentric
+    bookkeeping of the closest-hit kernel is dropped (one any-reduce per
+    cluster), the loop runs only over the block's compacted visit list, and
+    it early-outs once every ray in the block is occluded — shadow rays
+    toward the same light saturate fast.  Occlusion predicate matches the
+    closest-hit kernel's hit.valid exactly: any watertight hit with t
+    strictly inside (t_min, t_max).
+    """
+    blk = pl.program_id(0)
+    rv = _ray_vectors(ray_ref, sel_ref)
+    t_min, t_max = rv[6], rv[7]
+    inv_x, inv_y, inv_z = _inv_dir(rv[3], rv[4], rv[5])
 
     # parked/culled lanes (t_max <= 0) can never record a hit: seed them as
     # "occluded" so they count as decided for the early-out, and strip them
     # in the epilogue
     occ_out[:] = (t_max <= 0.0).astype(jnp.int32)
+    cnt = count_ref[blk]
 
-    def cluster_body(c, done):
-        word = mask_ref[c >> 5, blk]
-        bit = (word >> (c & 31).astype(jnp.uint32)) & jnp.uint32(1)
+    def cond(carry):
+        k, stop = carry
+        return (k < cnt) & jnp.logical_not(stop)
 
-        @pl.when((bit != 0) & jnp.logical_not(done))
+    def body(carry):
+        k, _ = carry
+        c = list_ref[0, 0, k]
+        undecided = occ_out[0, :][None, :] == 0
+        live = _cluster_slab(aabb_ref, c, rv, inv_x, inv_y, inv_z,
+                             t_min, t_max) & undecided
+
+        @pl.when(jnp.any(live))
         def _():
-            pcl = planes_ref[:, c, :]  # (13, CLUSTER)
-            v0x = pcl[0, :][:, None]
-            v0y = pcl[1, :][:, None]
-            v0z = pcl[2, :][:, None]
-            v1x = pcl[3, :][:, None]
-            v1y = pcl[4, :][:, None]
-            v1z = pcl[5, :][:, None]
-            v2x = pcl[6, :][:, None]
-            v2y = pcl[7, :][:, None]
-            v2z = pcl[8, :][:, None]
-            nx = pcl[9, :][:, None]
-            ny = pcl[10, :][:, None]
-            nz = pcl[11, :][:, None]
-            v0n = pcl[12, :][:, None]
-
-            d_dot_n = dx * nx + dy * ny + dz * nz
-            o_dot_n = ox * nx + oy * ny + oz * nz
-            t = (v0n - o_dot_n) / d_dot_n
-            in_range = (t > t_min) & (t < t_max)
-
-            def corner_xy(vx, vy, vz):
-                ca = sel(vx, vy, vz, perm0) - o_a
-                cb = sel(vx, vy, vz, perm1) - o_b
-                cc = sel(vx, vy, vz, perm2) - o_c
-                return ca + cc * sx, cb + cc * sy
-
-            p0x, p0y = corner_xy(v0x, v0y, v0z)
-            p1x, p1y = corner_xy(v1x, v1y, v1z)
-            p2x, p2y = corner_xy(v2x, v2y, v2z)
-
-            def edge(ax, ay, bx, by):
-                pa = ax * by
-                pb = ay * bx
-                e = pa - pb
-                noise = (jnp.abs(pa) + jnp.abs(pb)) * np.float32(2.0**-22)
-                return jnp.where(jnp.abs(e) <= noise, 0.0, e)
-
-            e0 = edge(p1x, p1y, p2x, p2y)
-            e1 = edge(p2x, p2y, p0x, p0y)
-            e2 = edge(p0x, p0y, p1x, p1y)
-            neg = (e0 < 0) | (e1 < 0) | (e2 < 0)
-            pos = (e0 > 0) | (e1 > 0) | (e2 > 0)
-            hit = (
-                in_range
-                & ~(neg & pos)
-                & (jnp.abs(e0) + jnp.abs(e1) + jnp.abs(e2) != 0.0)
-            )
+            hit, t, _, _, _ = _watertight(planes_ref[:, c, :], rv)
+            hit = hit & (t > t_min) & (t < t_max)
             occ_out[:] = jnp.maximum(
                 occ_out[0, :][None, :],
                 jnp.max(hit.astype(jnp.int32), axis=0, keepdims=True),
             )
 
         # early-out: the whole block decided => skip remaining clusters
-        return done | (jnp.min(occ_out[0, :]) > 0)
+        return k + 1, jnp.min(occ_out[0, :]) > 0
 
-    jax.lax.fori_loop(0, n_clusters, cluster_body, False)
+    jax.lax.while_loop(cond, body, (jnp.int32(0), False))
     occ_out[:] = jnp.where(t_max <= 0.0, 0, occ_out[0, :][None, :])
 
 
-def intersect_clusters_any(o, d, t_min, t_max, accel: ClusterAccel,
-                           block=512, interpret=None):
-    """Boolean occlusion query: any hit with t in (t_min, t_max)?
-
-    Same predicate as intersect_clusters(...).tri >= 0, but ~2x cheaper per
-    cluster and with whole-block early-out — the shadow-ray fast path.
-    """
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+def _pad_rays(o, d, t_min, t_max, block):
     n = o.shape[0]
     pad = (-n) % block
     if pad:
@@ -400,81 +457,11 @@ def intersect_clusters_any(o, d, t_min, t_max, accel: ClusterAccel,
         d = jnp.concatenate([d, jnp.ones((pad, 3))])
         t_min = jnp.concatenate([t_min, jnp.zeros(pad)])
         t_max = jnp.concatenate([t_max, jnp.zeros(pad)])
+    return o, d, t_min, t_max, n, pad
+
+
+def _ray_rows(o, d, t_min, t_max):
     shear = ray_shear(d)
-
-    rays = jnp.stack(
-        [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2], t_min, t_max]
-    )
-    sel = jnp.stack(
-        [
-            shear.perm[:, 0].astype(jnp.float32),
-            shear.perm[:, 1].astype(jnp.float32),
-            shear.perm[:, 2].astype(jnp.float32),
-            shear.sx,
-            shear.sy,
-        ]
-    )
-
-    mask = block_cluster_mask(o, d, t_max, accel.cl_lo, accel.cl_hi, block)
-    n_words = -(-accel.n_clusters // 32)
-    pad_c = n_words * 32 - accel.n_clusters
-    if pad_c:
-        mask = jnp.concatenate(
-            [mask, jnp.zeros((mask.shape[0], pad_c), bool)], axis=1
-        )
-    bits = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None, :]
-    packed = jnp.sum(
-        mask.reshape(mask.shape[0], n_words, 32).astype(jnp.uint32) * bits,
-        axis=-1,
-        dtype=jnp.uint32,
-    ).T
-
-    grid = ((n + pad) // block,)
-    row_blk = lambda h: pl.BlockSpec((h, block), lambda i, m: (0, i),
-                                     memory_space=pltpu.VMEM)
-    out_blk = pl.BlockSpec((1, block), lambda i, m: (0, i),
-                           memory_space=pltpu.VMEM)
-
-    occ = pl.pallas_call(
-        functools.partial(_kernel_any, n_clusters=accel.n_clusters),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=grid,
-            in_specs=[
-                row_blk(8),
-                row_blk(5),
-                pl.BlockSpec(accel.planes.shape, lambda i, m: (0, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=[out_blk],
-        ),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",),
-        ),
-        out_shape=[jax.ShapeDtypeStruct((1, n + pad), jnp.int32)],
-        interpret=interpret,
-    )(packed, rays, sel, accel.planes)[0]
-    return occ[0, :n] != 0
-
-
-def intersect_clusters(o, d, t_min, t_max, accel: ClusterAccel,
-                       block=512, interpret=None):
-    """Nearest-hit over the clustered scene.  Returns a Hit (original ids).
-
-    interpret=None auto-selects: Mosaic on TPU backends, interpreter
-    elsewhere (the CPU test mesh), so the same call site works everywhere.
-    """
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    n = o.shape[0]
-    pad = (-n) % block
-    if pad:
-        o = jnp.concatenate([o, jnp.zeros((pad, 3))])
-        d = jnp.concatenate([d, jnp.ones((pad, 3))])
-        t_min = jnp.concatenate([t_min, jnp.zeros(pad)])
-        t_max = jnp.concatenate([t_max, jnp.zeros(pad)])
-    shear = ray_shear(d)
-
     rays = jnp.stack(
         [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2], t_min, t_max]
     )  # (8, N)
@@ -487,38 +474,87 @@ def intersect_clusters(o, d, t_min, t_max, accel: ClusterAccel,
             shear.sy,
         ]
     )  # (5, N)
+    return rays, sel
 
-    mask = block_cluster_mask(
-        o, d, t_max, accel.cl_lo, accel.cl_hi, block
-    )  # (n_blocks, n_clusters) bool
-    n_words = -(-accel.n_clusters // 32)
-    pad_c = n_words * 32 - accel.n_clusters
-    if pad_c:
-        mask = jnp.concatenate(
-            [mask, jnp.zeros((mask.shape[0], pad_c), bool)], axis=1
-        )
-    bits = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None, :]
-    packed = jnp.sum(
-        mask.reshape(mask.shape[0], n_words, 32).astype(jnp.uint32) * bits,
-        axis=-1,
-        dtype=jnp.uint32,
-    ).T  # (n_words, n_blocks)
 
+def intersect_clusters_any(o, d, t_min, t_max, accel: ClusterAccel,
+                           block=512, interpret=None):
+    """Boolean occlusion query: any hit with t in (t_min, t_max)?
+
+    Same predicate as intersect_clusters(...).tri >= 0, but ~2x cheaper per
+    cluster and with whole-block early-out — the shadow-ray fast path.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    o, d, t_min, t_max, n, pad = _pad_rays(o, d, t_min, t_max, block)
+    rays, sel = _ray_rows(o, d, t_min, t_max)
+    cl_list, _, cl_count = build_block_lists(o, d, t_max, accel, block)
+
+    nc = accel.n_clusters
     grid = ((n + pad) // block,)
-    row_blk = lambda h: pl.BlockSpec((h, block), lambda i, m: (0, i),
+    row_blk = lambda h: pl.BlockSpec((h, block), lambda i, c, a: (0, i),
                                      memory_space=pltpu.VMEM)
-    out_blk = pl.BlockSpec((1, block), lambda i, m: (0, i),
+    out_blk = pl.BlockSpec((1, block), lambda i, c, a: (0, i),
                            memory_space=pltpu.VMEM)
+    smem_row = pl.BlockSpec((1, 1, nc), lambda i, c, a: (i, 0, 0),
+                            memory_space=pltpu.SMEM)
 
-    t, idx, u, v = pl.pallas_call(
-        functools.partial(_kernel, n_clusters=accel.n_clusters),
+    occ = pl.pallas_call(
+        functools.partial(_kernel_any, n_clusters=nc),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,  # the (n_clusters, n_blocks) mask -> SMEM
+            num_scalar_prefetch=2,  # counts + AABB planes -> SMEM
             grid=grid,
             in_specs=[
                 row_blk(8),
                 row_blk(5),
-                pl.BlockSpec(accel.planes.shape, lambda i, m: (0, 0, 0),
+                smem_row,
+                pl.BlockSpec(accel.planes.shape, lambda i, c, a: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[out_blk],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),  # pipeline ray blocks
+        ),
+        out_shape=[jax.ShapeDtypeStruct((1, n + pad), jnp.int32)],
+        interpret=interpret,
+    )(cl_count, accel.aabb, rays, sel, cl_list, accel.planes)[0]
+    return occ[0, :n] != 0
+
+
+def intersect_clusters(o, d, t_min, t_max, accel: ClusterAccel,
+                       block=512, interpret=None):
+    """Nearest-hit over the clustered scene.  Returns a Hit (original ids).
+
+    interpret=None auto-selects: Mosaic on TPU backends, interpreter
+    elsewhere (the CPU test mesh), so the same call site works everywhere.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    o, d, t_min, t_max, n, pad = _pad_rays(o, d, t_min, t_max, block)
+    rays, sel = _ray_rows(o, d, t_min, t_max)
+    cl_list, cl_entry, cl_count = build_block_lists(o, d, t_max, accel, block)
+
+    nc = accel.n_clusters
+    grid = ((n + pad) // block,)
+    row_blk = lambda h: pl.BlockSpec((h, block), lambda i, c, a: (0, i),
+                                     memory_space=pltpu.VMEM)
+    out_blk = pl.BlockSpec((1, block), lambda i, c, a: (0, i),
+                           memory_space=pltpu.VMEM)
+    smem_row = pl.BlockSpec((1, 1, nc), lambda i, c, a: (i, 0, 0),
+                            memory_space=pltpu.SMEM)
+
+    t, idx, u, v = pl.pallas_call(
+        functools.partial(_kernel, n_clusters=nc),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,  # counts + AABB planes -> SMEM
+            grid=grid,
+            in_specs=[
+                row_blk(8),
+                row_blk(5),
+                smem_row,
+                smem_row,
+                pl.BlockSpec(accel.planes.shape, lambda i, c, a: (0, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[out_blk, out_blk, out_blk, out_blk],
@@ -533,7 +569,7 @@ def intersect_clusters(o, d, t_min, t_max, accel: ClusterAccel,
             jax.ShapeDtypeStruct((1, n + pad), jnp.float32),
         ],
         interpret=interpret,
-    )(packed, rays, sel, accel.planes)
+    )(cl_count, accel.aabb, rays, sel, cl_list, cl_entry, accel.planes)
     t = t[0, :n]
     idx = idx[0, :n]
     tri = jnp.where(idx >= 0, accel.order[jnp.maximum(idx, 0)], -1)

@@ -466,11 +466,11 @@ def _regen_step_jit(
     la, state, rays = path_integrator.trace_regen(
         scene, bvh, px, py, samples_chunk, state, params
     )
-    for s in range(samples_chunk.shape[0]):
-        buf = film.splat_grid(
-            buf, samples_chunk[s], la[s], params.filter_width, table,
-            render_w, render_h, filter_bounds,
-        )
+    la = jax.lax.optimization_barrier(la)  # layout fence (see balanced step)
+    buf = film.splat_grid(
+        buf, samples_chunk, la, params.filter_width, table,
+        render_w, render_h, filter_bounds,
+    )
     return buf, state, rays
 
 
@@ -517,11 +517,14 @@ def _balanced_step_jit(
         chunk_base=chunk_base,
         n_lanes=params.lanes,
     )
-    for s in range(samples_chunk.shape[0]):
-        buf = film.splat_grid(
-            buf, samples_chunk[s], la[s], params.filter_width, table,
-            render_w, render_h, filter_bounds,
-        )
+    # layout fence: without it, the splat's image-shaped consumers leak a
+    # pessimal layout onto the while_loop's radiance-table carry and the
+    # whole trace runs ~2x slower (and compiles minutes slower)
+    la = jax.lax.optimization_barrier(la)
+    buf = film.splat_grid(
+        buf, samples_chunk, la, params.filter_width, table,
+        render_w, render_h, filter_bounds,
+    )
     return buf, state, rays
 
 

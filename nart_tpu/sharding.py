@@ -165,17 +165,16 @@ def _render_sharded_balanced(
         )
 
         table = jnp.asarray(film_mod.filter_table())
-        acc = jnp.zeros((rows + k, render_w + k, 5), jnp.float32)
-        for s in range(spp):
-            w = film_mod.tap_weights(
-                samples[s], params.filter_width, table, fb
-            )
-            vals = jnp.concatenate(
-                [la[s][:, None, None, :] * w[..., None], w[..., None]], -1
-            )
-            vals = jnp.where(real[:, None, None, None], vals, 0.0)
-            # one shared overlap-add path with the single-chip splat
-            acc = acc + film_mod.window_sum(vals, render_w, rows)
+        # layout fence (see render._balanced_step_jit): keep the splat's
+        # image-shaped layouts from leaking onto the wavefront loop carry
+        la = jax.lax.optimization_barrier(la)
+        # one shared fused tap-weight + overlap-add path with the
+        # single-chip splat (film.splat_windows); the spp axis folds into
+        # a single tap loop
+        acc = film_mod.splat_windows(
+            samples, la, params.filter_width, table,
+            render_w, rows, fb, real_mask=real,
+        )
         film_pad = jnp.zeros((rows_total + k, total_w + k, 5), jnp.float32)
         film_pad = jax.lax.dynamic_update_slice(
             film_pad, acc[:, : total_w + k], (row0, 0, 0)
