@@ -32,6 +32,23 @@ def build_parser():
         "--rougheningFactor", "-r", type=float, dest="roughening_factor"
     )
     p.add_argument("--devices", type=int, default=None)
+    p.add_argument(
+        "--coordinator",
+        type=str,
+        default=None,
+        metavar="HOST:PORT",
+        help="multi-process rendering: jax.distributed coordinator address "
+        "(pass the same value to every process)",
+    )
+    p.add_argument(
+        "--numProcesses", type=int, default=None, dest="num_processes",
+        help="multi-process rendering: total process count",
+    )
+    p.add_argument(
+        "--processId", type=int, default=None, dest="process_id",
+        help="multi-process rendering: this process's rank (0-based); "
+        "rank 0 writes the EXR",
+    )
     p.add_argument("--assetRoot", type=str, default=None)
     p.add_argument(
         "--accel",
@@ -94,6 +111,17 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", platform)
+    if args.coordinator:
+        # multi-process (multi-host) mode: every process runs this same CLI
+        # with its own --processId; the device mesh then spans all processes
+        # (jax.devices() is global) and rank 0 writes the output
+        from . import sharding
+
+        sharding.init_distributed(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
     overrides = {
         k: getattr(args, k)
         for k in (
@@ -140,7 +168,7 @@ def main(argv=None):
         t_build = time.time() - t_build
         if args.timing:
             print(f"# accel build: {t_build:.3f}s", file=sys.stderr)
-        if args.devices and args.devices > 1:
+        if args.coordinator or (args.devices and args.devices > 1):
             import jax
             import jax.numpy as jnp
 
@@ -163,8 +191,11 @@ def main(argv=None):
                 out_path += ".exr"
             from . import exr
 
-            print(f"Writing to {out_path}...")
-            exr.write(out_path, img)
+            # the film is replicated across processes; only rank 0 writes
+            # (every process writing the same path would race)
+            if sharding.is_primary():
+                print(f"Writing to {out_path}...")
+                exr.write(out_path, img)
         else:
             out_path = args.out if len(sessions) == 1 else f"{args.out}_{i}"
             if args.timing:

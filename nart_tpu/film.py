@@ -194,19 +194,30 @@ def splat_grid(
     Taps can run off the film edge (the reference drops them at tile merge,
     render.cpp:192-193); the crop below does the same.
     """
-    acc = splat_windows(
-        jitter, l_alpha, filter_width, table, render_w, render_h,
-        filter_bounds,
-    )
+    # fold the film ONE SAMPLE at a time: the per-pixel accumulation order
+    # is then (sample 0, sample 1, ...) regardless of how the spp axis is
+    # chunked across calls — the bit-identical chunk/checkpoint contract
+    # (test_integrator.test_balanced_matches_regen asserts array_equal).
+    # The sharded slab path uses the spp-fused splat_windows directly (its
+    # contract vs single-chip is 1e-6, not bit-exact).
+    if l_alpha.ndim == 2:
+        jitter = jitter[None]
+        l_alpha = l_alpha[None]
     h_tot, w_tot, _ = film.shape
-    acc = acc[:h_tot, :w_tot]
-    pad_h = h_tot - acc.shape[0]
-    pad_w = w_tot - acc.shape[1]
-    if pad_h > 0 or pad_w > 0:
-        acc = jnp.pad(
-            acc, ((0, max(pad_h, 0)), (0, max(pad_w, 0)), (0, 0))
+    for s in range(l_alpha.shape[0]):
+        acc = splat_windows(
+            jitter[s], l_alpha[s], filter_width, table, render_w, render_h,
+            filter_bounds,
         )
-    return film + acc
+        acc = acc[:h_tot, :w_tot]
+        pad_h = h_tot - acc.shape[0]
+        pad_w = w_tot - acc.shape[1]
+        if pad_h > 0 or pad_w > 0:
+            acc = jnp.pad(
+                acc, ((0, max(pad_h, 0)), (0, max(pad_w, 0)), (0, 0))
+            )
+        film = film + acc
+    return film
 
 
 def finalize(film, image_width, image_height, filter_bounds):

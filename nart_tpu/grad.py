@@ -46,9 +46,26 @@ TRAINABLE_FIELDS = (
 
 
 def get_params(scene: SceneData):
-    """Extract the trainable parameter pytree from a scene."""
+    """Extract the trainable parameter pytree from a scene.
+
+    Light radiance is fully trainable (north star: gradients w.r.t.
+    "textures and light radiance"): per-light constant Le, the env-map
+    Le TEXTURE image (None for constant lights — a None pytree entry
+    carries no leaves), and the scalar intensity multiplier.  Note the
+    env light's 2D importance CDF is built from the texture at scene load
+    and intentionally NOT rebuilt per step: sampling pdfs are detached
+    decisions, so the estimator stays unbiased (just progressively less
+    importance-matched) as the texture trains away from its initial value.
+    """
     theta = {f: jnp.asarray(getattr(scene, f)) for f in TRAINABLE_FIELDS}
     theta["light_le"] = [jnp.asarray(li.le_const) for li in scene.lights]
+    theta["light_le_tex"] = [
+        None if li.le_tex is None else jnp.asarray(li.le_tex)
+        for li in scene.lights
+    ]
+    theta["light_intensity"] = [
+        jnp.asarray(li.intensity) for li in scene.lights
+    ]
     return theta
 
 
@@ -58,8 +75,13 @@ def put_params(scene: SceneData, theta):
     for f in TRAINABLE_FIELDS:
         kw[f] = theta[f]
     kw["lights"] = [
-        dataclasses.replace(li, le_const=le)
-        for li, le in zip(scene.lights, theta["light_le"])
+        dataclasses.replace(li, le_const=le, le_tex=le_tex, intensity=inten)
+        for li, le, le_tex, inten in zip(
+            scene.lights,
+            theta["light_le"],
+            theta["light_le_tex"],
+            theta["light_intensity"],
+        )
     ]
     return SceneData(**kw)
 

@@ -228,6 +228,18 @@ def _make_bounce(scene, bvh, params, n, differentiable=False):
     from ..accel import resolve_accel_kind
 
     accel_kind = resolve_accel_kind(getattr(params, "accel", "bvh"))
+    # shadow-batch coherence sort: same auto policy as the balanced
+    # machine's per-round lane sort (pays only when blocks see many
+    # clusters); explicit params.sort_rays overrides
+    sort_shadow = getattr(params, "sort_rays", None)
+    if sort_shadow is None:
+        sort_shadow = getattr(bvh, "n_clusters", 0) > 64
+    sort_shadow = sort_shadow and accel_kind == "pallas"
+    tv_flat = jnp.reshape(tri_v, (-1, 3))
+    scene_lo = jnp.min(tv_flat, axis=0)
+    scene_inv_extent = 1.0 / jnp.maximum(
+        jnp.max(tv_flat, axis=0) - scene_lo, 1e-12
+    )
     if accel_kind == "pallas":
         from ..pallas_accel import (
             ClusterAccel,
@@ -350,6 +362,15 @@ def _make_bounce(scene, bvh, params, n, differentiable=False):
         wiB_world = jax.lax.stop_gradient(wiB_world)
         light_pdf_B = jax.lax.stop_gradient(light_pdf_B)
         wiB = jax.lax.stop_gradient(bxdf.to_local(frame, wiB_world))
+        # strategy B's bsdf terms don't depend on occlusion: evaluate them
+        # BEFORE the shadow traversal so provably-zero lanes (f == 0 and
+        # pdf == 0 — every delta lobe) never trace.  The reference traces
+        # first and gets 0 via f (pathintegrator.cpp:92-118); culling is
+        # exact and halves shadow work on specular-heavy scenes.
+        pdfB = jax.lax.stop_gradient(
+            bxdf.bsdf_pdf(desc, wo, wiB, jnp.ones((n,), bool), eta_outer)
+        )
+        fB = bxdf.bsdf_f(desc, wo, wiB, jnp.ones((n,), bool), eta_outer)
 
         # one batched shadow traversal for both strategies.  Lanes whose
         # result cannot contribute (invalid hit, zero bsdf pdf, or a missed /
@@ -360,7 +381,11 @@ def _make_bounce(scene, bvh, params, n, differentiable=False):
             & (pdfA > 0.0)
             & ((light_pdf_A > 0.0) | jnp.any(liA > 0.0, axis=-1))
         )
-        useB = m_valid & (light_pdf_B > 0.0)
+        useB = (
+            m_valid
+            & (light_pdf_B > 0.0)
+            & ((pdfB > 0.0) | jnp.any(fB > 0.0, axis=-1))
+        )
         oA = surf.p + surf.gn * (SHADOW_BIAS * _flip_sign(wiA[..., 2]))[:, None]
         oB = surf.p + surf.gn * (SHADOW_BIAS * _flip_sign(wiB[..., 2]))[:, None]
         sh_o = jnp.concatenate(
@@ -376,6 +401,26 @@ def _make_bounce(scene, bvh, params, n, differentiable=False):
         )
         if _DEBUG_SKIP_SHADOW:  # profiling knob: attribute traversal cost
             occ = jnp.zeros((2 * n,), bool)
+        elif sort_shadow:
+            # shadow rays inherit the main lanes' order, which is coherent
+            # in ORIGIN but not direction: strategy-A directions are
+            # BSDF-sampled (scrambled on rough surfaces) and the A/B halves
+            # interleave differently.  Re-sorting the 2n shadow batch by
+            # its own octant+origin key lets the any-hit kernel's block
+            # culling work; the boolean permutes back with one scatter.
+            key = _sort_key(scene_lo, scene_inv_extent, sh_o, sh_d, sh_t > 0.0)
+            perm = jnp.argsort(key)
+            occ_s = isect_occl(
+                sh_o[perm], sh_d[perm], jnp.zeros((2 * n,)), sh_t[perm]
+            )
+            occ = (
+                jnp.zeros((2 * n,), jnp.int32)
+                .at[perm]
+                .set(occ_s.astype(jnp.int32), unique_indices=True)
+                != 0
+            )
+            if differentiable:
+                occ = checkpoint_name(occ, "isect")
         else:
             occ = isect_occl(sh_o, sh_d, jnp.zeros((2 * n,)), sh_t)
             if differentiable:
@@ -410,11 +455,7 @@ def _make_bounce(scene, bvh, params, n, differentiable=False):
         )
         l_direct = jnp.where(addA[:, None], contribA, 0.0)
 
-        # strategy B contribution (light sampling)
-        pdfB = jax.lax.stop_gradient(
-            bxdf.bsdf_pdf(desc, wo, wiB, jnp.ones((n,), bool), eta_outer)
-        )
-        fB = bxdf.bsdf_f(desc, wo, wiB, jnp.ones((n,), bool), eta_outer)
+        # strategy B contribution (light sampling; fB/pdfB hoisted above)
         misB = (light_pdf_B * light_pdf_B) / jnp.maximum(
             pdfB * pdfB + light_pdf_B * light_pdf_B, 1e-30
         )
@@ -521,6 +562,11 @@ def _make_bounce(scene, bvh, params, n, differentiable=False):
             eta_sampled=eta_sampled,
             alpha_tweak=alpha_tweak,
             t_lim=jnp.where(alive, INF, p.t_lim),  # isect reset on live lanes
+            # algorithmic ray count (reference-equivalent denominator for
+            # Mrays/s): one camera/bounce ray per live lane + the two
+            # EstimateDirect shadow rays per valid hit, whether the shadow
+            # query was traced or resolved analytically (useA/useB culls
+            # only provably-zero lanes the reference traces physically)
             rays=p.rays
             + jnp.sum(p.alive.astype(jnp.float32))
             + 2.0 * jnp.sum(m_valid.astype(jnp.float32)),

@@ -69,7 +69,7 @@ def _le_value(light: LightData, st):
         iu = (np.float32(w) * u).astype(jnp.int32)
         iv = (np.float32(h) * v).astype(jnp.int32)
         le = img[iv, iu]
-    return le * np.float32(light.intensity)
+    return le * light.intensity
 
 
 def _disk_like_eval(light: LightData, p, wi, is_ring: bool):
@@ -262,10 +262,10 @@ def _env_sample(light: LightData, p, u2):
         vv = jnp.clip(1.0 - uv[..., 1], 1e-4, 0.9999)
         iu = (np.float32(w) * uu).astype(jnp.int32)
         iv = (np.float32(h) * vv).astype(jnp.int32)
-        le = img[iv, iu] * np.float32(light.intensity)
+        le = img[iv, iu] * light.intensity
     else:
         le = jnp.broadcast_to(
-            jnp.asarray(light.le_const) * np.float32(light.intensity),
+            jnp.asarray(light.le_const) * light.intensity,
             u2.shape[:-1] + (3,),
         )
     sin_abs = jnp.abs(sin_t)
@@ -303,7 +303,7 @@ def _distant_sample(light: LightData, p, u2):
     wi = jnp.broadcast_to(-direction, shape + (3,))
     pdf = jnp.ones(shape)
     le = jnp.broadcast_to(
-        jnp.asarray(light.le_const) * np.float32(light.intensity),
+        jnp.asarray(light.le_const) * light.intensity,
         shape + (3,),
     )
     # shadow ray range: the reference leaves lightIsect.tMax at Infinity

@@ -211,26 +211,23 @@ class RenderSession:
         for i in bounds:
             if regen:
                 j = min(i + chunk, self.params.spp)
-                step = (
-                    _balanced_step_jit
-                    if self.params.wavefront == "balanced"
-                    else _regen_step_jit
-                )
-                buf, state, rays = step(
-                    buf,
-                    state,
-                    samples[i:j],
-                    scene,
-                    self.bvh,
-                    px,
-                    py,
-                    self.params,
-                    self.total_w,
-                    self.total_h,
-                    self.filter_bounds,
-                    render_w=self.render_w,
-                    render_h=self.render_h,
-                    chunk_base=jnp.int32(i),
+                # trace and splat are SEPARATE jit programs: fusing them
+                # lets the splat's image-shaped layouts leak onto the
+                # wavefront loop carries (measured 3.5x runtime and minutes
+                # of extra compile, optimization_barrier notwithstanding)
+                if self.params.wavefront == "balanced":
+                    la, rays = _trace_balanced_jit(
+                        samples[i:j], scene, self.bvh, self.params,
+                        self.render_w, self.render_h, jnp.int32(i),
+                    )
+                else:
+                    la, state, rays = _trace_regen_jit(
+                        samples[i:j], scene, self.bvh, px, py, state,
+                        self.params,
+                    )
+                buf = _splat_chunk_jit(
+                    buf, samples[i:j], la, self.params,
+                    self.render_w, self.render_h, self.filter_bounds,
                 )
             else:
                 j = i + 1
@@ -432,81 +429,14 @@ def _spp_step_jit(
 
 @functools.partial(
     jax.jit,
-    static_argnames=(
-        "params",
-        "total_w",
-        "total_h",
-        "filter_bounds",
-        "render_w",
-        "render_h",
-    ),
-    donate_argnums=(0, 1),
+    static_argnames=("params", "render_w", "render_h"),
 )
-def _regen_step_jit(
-    buf,
-    state,
-    samples_chunk,
-    scene,
-    bvh,
-    px,
-    py,
-    params,
-    total_w,
-    total_h,
-    filter_bounds,
-    render_w,
-    render_h,
-    chunk_base=None,
-):
-    """One sample-regeneration chunk: all lanes run `chunk` samples back to
-    back in a single while_loop (path_integrator.trace_regen), then each
-    sample's radiance splats in sample order — the film is bit-identical to
-    the sequential per-spp loop regardless of chunk size."""
-    table = jnp.asarray(film.filter_table())
-    la, state, rays = path_integrator.trace_regen(
-        scene, bvh, px, py, samples_chunk, state, params
-    )
-    la = jax.lax.optimization_barrier(la)  # layout fence (see balanced step)
-    buf = film.splat_grid(
-        buf, samples_chunk, la, params.filter_width, table,
-        render_w, render_h, filter_bounds,
-    )
-    return buf, state, rays
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "params",
-        "total_w",
-        "total_h",
-        "filter_bounds",
-        "render_w",
-        "render_h",
-    ),
-    donate_argnums=(0,),
-)
-def _balanced_step_jit(
-    buf,
-    state,
-    samples_chunk,
-    scene,
-    bvh,
-    px,
-    py,
-    params,
-    total_w,
-    total_h,
-    filter_bounds,
-    render_w,
-    render_h,
-    chunk_base=None,
+def _trace_balanced_jit(
+    samples_chunk, scene, bvh, params, render_w, render_h, chunk_base
 ):
     """One balanced-wavefront chunk: work-queue over (pixel, sample) items
-    (path_integrator.trace_balanced), then per-sample splats in order.
-    The per-pixel RNG states pass through untouched (paths use per-item
-    streams); they still seed the Latin-square jitters upstream."""
-    table = jnp.asarray(film.filter_table())
+    (path_integrator.trace_balanced).  Returns the per-sample radiance
+    table; the film splat runs in a separate jit (see render())."""
     la, rays, _ = path_integrator.trace_balanced(
         scene,
         bvh,
@@ -517,15 +447,39 @@ def _balanced_step_jit(
         chunk_base=chunk_base,
         n_lanes=params.lanes,
     )
-    # layout fence: without it, the splat's image-shaped consumers leak a
-    # pessimal layout onto the while_loop's radiance-table carry and the
-    # whole trace runs ~2x slower (and compiles minutes slower)
-    la = jax.lax.optimization_barrier(la)
-    buf = film.splat_grid(
+    return la, rays
+
+
+@functools.partial(
+    jax.jit, static_argnames=("params",), donate_argnums=(5,)
+)
+def _trace_regen_jit(samples_chunk, scene, bvh, px, py, state, params):
+    """One sample-regeneration chunk: all lanes run `chunk` samples back to
+    back in a single while_loop (path_integrator.trace_regen); the film
+    splat runs in a separate jit (see render())."""
+    la, state, rays = path_integrator.trace_regen(
+        scene, bvh, px, py, samples_chunk, state, params
+    )
+    return la, state, rays
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("params", "render_w", "render_h", "filter_bounds"),
+    donate_argnums=(0,),
+)
+def _splat_chunk_jit(
+    buf, samples_chunk, la, params, render_w, render_h, filter_bounds
+):
+    """Splat one chunk's per-sample radiance into the film buffer.
+
+    Sample-sequential film fold (film.splat_grid): bit-identical to the
+    per-spp loop for any chunking."""
+    table = jnp.asarray(film.filter_table())
+    return film.splat_grid(
         buf, samples_chunk, la, params.filter_width, table,
         render_w, render_h, filter_bounds,
     )
-    return buf, state, rays
 
 
 @functools.partial(

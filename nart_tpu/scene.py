@@ -82,7 +82,7 @@ class TexRef:
 
 
 @pytree_dataclass(
-    meta_fields=("kind", "radius", "inner_radius", "intensity")
+    meta_fields=("kind", "radius", "inner_radius")
 )
 @dataclass
 class LightData:
@@ -90,7 +90,9 @@ class LightData:
     xf: Any  # (4,4) light-to-world (row-major math matrix)
     radius: float
     inner_radius: float
-    intensity: float
+    # pytree LEAF (not meta): the north star trains light radiance, and a
+    # leaf intensity carries gradients through every Le evaluation
+    intensity: Any  # () float32
     le_const: Any  # (3,)
     le_tex: Any  # None or (h, w, 3) float32 texture (already v-unflipped? no — raw image rows)
     env2d: Optional[Env2D]  # importance distribution (texture Le only)
@@ -443,7 +445,7 @@ def load_scene(scene_path: str, asset_root: Optional[str] = None) -> SceneData:
                 xf=xf,
                 radius=float(ld.get("radius", 1.0)),
                 inner_radius=float(ld.get("innerRadius", 0.0)),
-                intensity=float(ld.get("intensity", 1.0)),
+                intensity=np.float32(ld.get("intensity", 1.0)),
                 le_const=le_const,
                 le_tex=le_tex_img,
                 env2d=env2d,

@@ -46,6 +46,19 @@ def init_distributed(**kwargs):
     jax.distributed.initialize(**kwargs)
 
 
+def is_primary() -> bool:
+    """True on the process that should own side effects (EXR write, logs)."""
+    return jax.process_index() == 0
+
+
+def _put(mesh: Mesh, tree, spec):
+    """device_put a pytree with a NamedSharding — the multi-controller-safe
+    way to feed shard_map: every process passes the same global (numpy)
+    values and jax slices out its addressable shards."""
+    s = jax.sharding.NamedSharding(mesh, spec)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)
+
+
 def render_sharded(
     scene,
     bvh,
@@ -96,10 +109,10 @@ def render_sharded(
         return jax.lax.psum(film, axis)
 
     return jax.jit(shard_render)(
-        jax.tree_util.tree_map(jnp.asarray, scene),
-        bvh,
-        jnp.asarray(px),
-        jnp.asarray(py),
+        _put(mesh, jax.tree_util.tree_map(np.asarray, scene), P()),
+        _put(mesh, bvh, P()),
+        _put(mesh, px, P(axis)),
+        _put(mesh, py, P(axis)),
     )
 
 
@@ -165,8 +178,10 @@ def _render_sharded_balanced(
         )
 
         table = jnp.asarray(film_mod.filter_table())
-        # layout fence (see render._balanced_step_jit): keep the splat's
-        # image-shaped layouts from leaking onto the wavefront loop carry
+        # layout fence: keep the splat's image-shaped layouts from leaking
+        # onto the wavefront loop carry (the single-chip path goes further
+        # and puts trace and splat in separate jit programs; inside
+        # shard_map they must share one)
         la = jax.lax.optimization_barrier(la)
         # one shared fused tap-weight + overlap-add path with the
         # single-chip splat (film.splat_windows); the spp axis folds into
@@ -182,7 +197,9 @@ def _render_sharded_balanced(
         film_pad = jax.lax.psum(film_pad, axis)
         return film_pad[:total_h, :total_w]
 
-    row0s = jnp.arange(n_dev, dtype=jnp.int32) * rows
+    row0s = np.arange(n_dev, dtype=np.int32) * rows
     return jax.jit(shard_render)(
-        jax.tree_util.tree_map(jnp.asarray, scene), bvh, row0s
+        _put(mesh, jax.tree_util.tree_map(np.asarray, scene), P()),
+        _put(mesh, bvh, P()),
+        _put(mesh, row0s, P(axis)),
     )

@@ -1,9 +1,12 @@
 """Tiny programmatic scenes for tests, dry-runs and benchmarks."""
 
+import dataclasses
+
 import numpy as np
 
 from .scene import (
     LIGHT_DISK,
+    LIGHT_ENV,
     MAT_GLASS,
     MAT_GLOSSY,
     MAT_LAMBERT,
@@ -11,6 +14,25 @@ from .scene import (
     LightData,
     SceneData,
 )
+
+
+def env_scene(materials=("lambert",), tex_h=4, tex_w=8, intensity=2.0,
+              **kw):
+    """simple_scene but lit by an environment light with a small Le texture.
+
+    env2d is left None (uniform-sphere sampling, pattern Pdf()=1): sampling
+    pdfs are then independent of the texture, which keeps FD/AD gradient
+    comparisons exact while still exercising the le_tex gradient path.
+    """
+    base = simple_scene(materials, **kw)
+    v = np.linspace(0.3, 1.2, tex_h * tex_w, dtype=np.float32)
+    le_tex = np.stack([v, v * 0.8, v * 0.5], -1).reshape(tex_h, tex_w, 3)
+    env = LightData(
+        kind=LIGHT_ENV, xf=np.eye(4, dtype=np.float32), radius=0.0,
+        inner_radius=0.0, intensity=np.float32(intensity),
+        le_const=np.zeros(3, np.float32), le_tex=le_tex, env2d=None,
+    )
+    return dataclasses.replace(base, lights=[env])
 
 
 def quad(center, size, axis=2, flip=False):

@@ -164,3 +164,71 @@ def test_roughness_gradient_finite():
     g = np.asarray(grads["alpha_const"])
     assert np.isfinite(g).all()
     assert np.abs(g).sum() > 0
+
+
+def test_env_radiance_gradient_matches_fd():
+    """North star: gradients w.r.t. light radiance TEXTURES (env map) and
+    the scalar intensity.  env2d=None (uniform sampling) keeps pdfs
+    independent of the texture, so FD of the same deterministic estimator
+    matches AD to first order.  Reference semantics:
+    environmentlight.cpp:9-79 + texturepattern.cpp:131-155."""
+    from nart_tpu.testing import env_scene
+
+    scene = env_scene(("lambert",))
+    params = render_mod.RenderParams(
+        image_width=8, image_height=8, spp=2, bounces=3, filter_width=1.0
+    )
+    loss_fn = lambda img: jnp.sum(img)
+    loss, grads = grad_mod.loss_and_grad(
+        scene, params, params.image_width, params.image_height, params.spp,
+        loss_fn,
+    )
+    g_tex = np.asarray(grads["light_le_tex"][0])
+    g_int = float(np.asarray(grads["light_intensity"][0]))
+    assert np.isfinite(g_tex).all() and g_tex.shape == (4, 8, 3)
+    assert np.abs(g_tex).sum() > 0 and g_int > 0
+
+    bvh = grad_mod.build_accel(np.asarray(scene.tri_v), "auto")
+    scene_j = jax.tree_util.tree_map(jnp.asarray, scene)
+    theta = grad_mod.get_params(scene_j)
+
+    def eval_loss(th):
+        scn = grad_mod.put_params(scene_j, th)
+        lanes = grad_mod.render_lanes(
+            scn, bvh, params, params.image_width, params.image_height,
+            params.spp,
+        )
+        return float(jnp.sum(lanes))
+
+    # FD on one bright texel that the AD gradient says is in use
+    ij = np.unravel_index(np.argmax(np.abs(g_tex)), g_tex.shape)
+    eps = 1e-2
+    for sign in (+1, -1):
+        tex = np.array(theta["light_le_tex"][0], np.float64)
+        tex[ij] += sign * eps
+        th = dict(theta)
+        th["light_le_tex"] = [jnp.asarray(np.float32(tex))]
+        if sign > 0:
+            up = eval_loss(th)
+        else:
+            down = eval_loss(th)
+    g_fd = (up - down) / (2 * eps)
+    assert abs(g_tex[ij] - g_fd) <= 0.05 * max(abs(g_fd), 1e-3), (
+        g_tex[ij], g_fd,
+    )
+
+    # FD on the intensity scalar
+    for sign in (+1, -1):
+        th = dict(theta)
+        th["light_intensity"] = [
+            jnp.asarray(np.float32(float(theta["light_intensity"][0])
+                                   + sign * eps))
+        ]
+        if sign > 0:
+            up = eval_loss(th)
+        else:
+            down = eval_loss(th)
+    g_fd_int = (up - down) / (2 * eps)
+    assert abs(g_int - g_fd_int) <= 0.05 * max(abs(g_fd_int), 1e-3), (
+        g_int, g_fd_int,
+    )

@@ -31,7 +31,7 @@ def test_glass_sphere_scene():
     assert len(s.lights) == 1
     li = s.lights[0]
     assert li.kind == scene_mod.LIGHT_DISK
-    assert li.radius == 0.5 and li.intensity == 259.4
+    assert li.radius == 0.5 and li.intensity == np.float32(259.4)
     assert s.fov == 11.5
 
 
