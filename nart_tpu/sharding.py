@@ -41,6 +41,19 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "tiles") -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
+def make_mesh2(n_tiles: int, n_spp: int) -> Mesh:
+    """2-D mesh: pixel-row slabs x spp slabs.
+
+    The spp axis is the renderer's sequence-parallel analog (SURVEY.md §5
+    "long-context"): per-pixel samples are independent and the film
+    accumulation is associative, so sharding spp across devices is exact.
+    At the 1024-spp north star it is the natural second axis once row
+    slabs stop scaling (few rows per device starves the work queue).
+    """
+    devs = jax.devices()[: n_tiles * n_spp]
+    return Mesh(np.array(devs).reshape(n_tiles, n_spp), ("tiles", "spp"))
+
+
 def init_distributed(**kwargs):
     """Multi-host entry: call before any jax op on pod slices."""
     jax.distributed.initialize(**kwargs)
@@ -127,43 +140,68 @@ def _render_sharded_balanced(
     total_h,
     filter_bounds,
 ):
-    """Row-slab sharding of the balanced work-queue wavefront."""
+    """Row-slab x spp-slab sharding of the balanced work-queue wavefront.
+
+    A 1-D mesh ("tiles") shards pixel rows only; a 2-D mesh
+    ("tiles", "spp" — make_mesh2) additionally shards the spp axis: each
+    device traces its (row slab, sample slab) block of the global
+    (pixel, sample) item set.  RNG streams are keyed by GLOBAL
+    (pixel, sample) ids (chunk_base carries the spp offset), so every
+    sample decision is identical for any mesh shape; films psum-merge
+    over both axes.
+    """
     from . import film as film_mod
     from . import rng, sampling
     from .integrators import path as path_integrator
 
-    axis = mesh.axis_names[0]
-    n_dev = mesh.devices.size
-    rows = -(-render_h // n_dev)  # rows per device (last slab may pad)
-    rows_total = rows * n_dev
+    axes = mesh.axis_names
+    n_row_dev = mesh.shape[axes[0]]
+    n_spp_dev = mesh.shape[axes[1]] if len(axes) > 1 else 1
+    rows = -(-render_h // n_row_dev)  # rows per device (last slab may pad)
+    rows_total = rows * n_row_dev
     p_local = rows * render_w
     n_pix_total = render_w * render_h
     fb = filter_bounds
     k = 2 * fb + 1
     spp = params.spp
+    spp_local = -(-spp // n_spp_dev)  # samples per device (may pad)
+
+    in_axis = (P(axes[0]), P(axes[1])) if len(axes) > 1 else (P(axes[0]),)
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), P(), P(axis)),
+        in_specs=(P(), P()) + in_axis,
         out_specs=P(),
         check_vma=False,
     )
-    def shard_render(scene, bvh, row0s):
-        # the slab offset arrives as a SHARDED input rather than
-        # axis_index * rows: with check_vma=False, a psum whose operand
+    def shard_render(scene, bvh, row0s, *spp0s_opt):
+        # the slab offsets arrive as SHARDED inputs rather than
+        # axis_index * size: with check_vma=False, a psum whose operand
         # derives from no sharded input is silently miscompiled (treated
         # as replicated); a sharded operand lineage keeps it a real
         # all-reduce
         row0 = row0s[0]
+        spp0 = spp0s_opt[0][0] if spp0s_opt else jnp.int32(0)
         local = jnp.arange(p_local, dtype=jnp.int32)
         px = local % render_w
         py = row0 + local // render_w
         real = py < render_h  # padded rows trace but never splat
-        # per-pixel Latin-square jitters from the reference's pixel streams
+        # per-pixel Latin-square jitters from the reference's pixel
+        # streams: the FULL spp draw per pixel (the square depends on
+        # total spp), then this device's sample slab sliced out
         state = rng.seed(py * total_w + px)
         samples, _ = sampling.latin_square(state, spp)
         samples = jnp.swapaxes(samples, 0, 1)  # (spp, P_local, 2)
+        # zero-pad so the slice never clamps (a clamped start would pair
+        # trailing-device jitters with the wrong global sample ids); padded
+        # rows are masked out of the splat below
+        pad_s = n_spp_dev * spp_local - spp
+        if pad_s:
+            samples = jnp.pad(samples, ((0, pad_s), (0, 0), (0, 0)))
+        samples = jax.lax.dynamic_slice(
+            samples, (spp0, 0, 0), (spp_local, p_local, 2)
+        )
 
         la, rays, _ = path_integrator.trace_balanced(
             scene,
@@ -172,6 +210,7 @@ def _render_sharded_balanced(
             params,
             render_w,
             rows,
+            chunk_base=spp0,
             n_lanes=params.lanes,
             pix_offset=row0 * render_w,
             n_pix_total=n_pix_total,
@@ -183,23 +222,31 @@ def _render_sharded_balanced(
         # and puts trace and splat in separate jit programs; inside
         # shard_map they must share one)
         la = jax.lax.optimization_barrier(la)
+        # padded spp rows (dynamic_slice clamp when spp % n_spp_dev != 0)
+        # trace but never splat
+        s_real = spp0 + jnp.arange(spp_local, dtype=jnp.int32) < spp
         # one shared fused tap-weight + overlap-add path with the
         # single-chip splat (film.splat_windows); the spp axis folds into
         # a single tap loop
         acc = film_mod.splat_windows(
             samples, la, params.filter_width, table,
-            render_w, rows, fb, real_mask=real,
+            render_w, rows, fb,
+            real_mask=real[None, :] & s_real[:, None],
         )
         film_pad = jnp.zeros((rows_total + k, total_w + k, 5), jnp.float32)
         film_pad = jax.lax.dynamic_update_slice(
             film_pad, acc[:, : total_w + k], (row0, 0, 0)
         )
-        film_pad = jax.lax.psum(film_pad, axis)
+        film_pad = jax.lax.psum(film_pad, axes)
         return film_pad[:total_h, :total_w]
 
-    row0s = np.arange(n_dev, dtype=np.int32) * rows
-    return jax.jit(shard_render)(
+    row0s = np.arange(n_row_dev, dtype=np.int32) * rows
+    args = [
         _put(mesh, jax.tree_util.tree_map(np.asarray, scene), P()),
         _put(mesh, bvh, P()),
-        _put(mesh, row0s, P(axis)),
-    )
+        _put(mesh, row0s, P(axes[0])),
+    ]
+    if len(axes) > 1:
+        spp0s = np.arange(n_spp_dev, dtype=np.int32) * spp_local
+        args.append(_put(mesh, spp0s, P(axes[1])))
+    return jax.jit(shard_render)(*args)

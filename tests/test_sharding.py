@@ -34,6 +34,28 @@ def test_sharded_matches_single_chip():
         np.testing.assert_allclose(single, multi, atol=1e-6, rtol=1e-6)
 
 
+def test_sharded_2d_spp_axis_matches_single_chip():
+    """2-D (rows x spp) mesh: per-item RNG streams are keyed by global
+    (pixel, sample) ids, so the image is invariant to BOTH axes' shapes.
+    spp=3 on a 2-wide spp axis exercises the sample-slab padding."""
+    scene = scenes.simple_scene(("lambert",))
+    params = render_mod.RenderParams(
+        image_width=10, image_height=6, spp=3, bounces=3, filter_width=1.0
+    )
+    sess = render_mod.RenderSession(scene, params)
+    single = sess.render()
+    for n_tiles, n_spp in ((2, 2), (4, 2), (1, 3)):
+        mesh = sharding.make_mesh2(n_tiles, n_spp)
+        out = np.asarray(
+            sharding.render_sharded(
+                scene, sess.bvh, params, mesh,
+                sess.render_w, sess.render_h, sess.total_w, sess.total_h,
+                sess.filter_bounds,
+            )
+        )
+        np.testing.assert_allclose(single, out, atol=1e-6, rtol=1e-6)
+
+
 def test_sharded_gradient_allreduce():
     # grads of a sharded render w.r.t. replicated params match single-device
     import functools
