@@ -66,6 +66,17 @@ def get_params(scene: SceneData):
     theta["light_intensity"] = [
         jnp.asarray(li.intensity) for li in scene.lights
     ]
+    if scene.medium is not None:
+        # differentiable volume rendering: event probabilities carry
+        # p/detach(p) ratios (integrators/volume.py), so sigma_a/sigma_s/
+        # density/Le all receive gradients.  The majorant is a static
+        # detached bound — keep density under it when optimising.
+        theta["medium"] = {
+            "sigma_a": jnp.asarray(scene.medium.sigma_a),
+            "sigma_s": jnp.asarray(scene.medium.sigma_s),
+            "le": jnp.asarray(scene.medium.le),
+            "density": jnp.asarray(scene.medium.density),
+        }
     return theta
 
 
@@ -83,6 +94,8 @@ def put_params(scene: SceneData, theta):
             theta["light_intensity"],
         )
     ]
+    if scene.medium is not None and "medium" in theta:
+        kw["medium"] = dataclasses.replace(scene.medium, **theta["medium"])
     return SceneData(**kw)
 
 
@@ -99,15 +112,30 @@ def render_lanes(scene, bvh, params, width, height, spp, seed_base=0):
     state = rng.seed(py * width + px + seed_base)
     samples, state = sampling.latin_square(state, spp)
 
+    if params.integrator == "volume":
+        from .integrators import volume as volume_integrator
+
+        def tracer(o, d, state):
+            # statically-bounded replayable walk (reverse AD cannot
+            # transpose the production while_loop); 512 flight steps
+            # covers any practical walk at reference majorants
+            l, a, state, rays, _ = volume_integrator.trace_diff(
+                scene, bvh, o, d, state, params
+            )
+            return l, a, state, rays
+    else:
+        def tracer(o, d, state):
+            return path_integrator.trace(
+                scene, bvh, o, d, state, params, differentiable=True
+            )
+
     def spp_body(i, carry):
         acc, state = carry
         s = samples[:, i]
         o, d = camera.cast_rays(
             scene.cam_to_world, scene.fov, width, height, px, py, s
         )
-        l, a, state, _ = path_integrator.trace(
-            scene, bvh, o, d, state, params, differentiable=True
-        )
+        l, a, state, _ = tracer(o, d, state)
         return acc + l, state
 
     acc, _ = jax.lax.fori_loop(

@@ -2,15 +2,28 @@
 
 Parity: src/integrators/volumeintegrator.cpp + SampleT_maj (media.h:128-181).
 The per-ray random walk (absorb / scatter / null with a global majorant) is
-flattened into a lockstep wavefront loop: each iteration performs one
-free-flight extension attempt per live lane, with lanes in one of three
-logical phases — NEW_RAY (fresh segment: draw the unused-u + mode uniforms,
-clip to the medium AABB), IN_FLIGHT (extend t), or ESCAPED (final light
-pass).  RNG draw sites match the reference's scalar order exactly:
+flattened into a wavefront loop: each iteration performs one free-flight
+extension attempt per live lane, with lanes in one of three logical phases —
+NEW_RAY (fresh segment: draw the unused-u + mode uniforms, clip to the
+medium AABB), IN_FLIGHT (extend t), or ESCAPED (final light pass).  RNG
+draw sites match the reference's scalar order exactly:
   outer: u (unused by SampleT_maj but drawn — parity), uMode
   per flight step: exponential t draw; on null: uMode redraw; on scatter:
   2 phase-function draws.
 Lights contribute only on escape (no NEE/MIS in volume mode); alpha is 1.
+
+Differentiability: every event multiplies the throughput by its
+probability RATIO p / stop_gradient(p) — value exactly 1, so forward
+results and draw order are untouched, but gradients flow through the
+event probabilities (sigma_a, sigma_s, density) exactly as in detached-
+sampling path replay.  The majorant stays a detached static bound.
+
+Two schedulers:
+  * trace        — per-pixel lockstep (reference draw-order parity).
+  * trace_balanced — work queue over (pixel, sample) items: a lane whose
+    walk terminates pulls the next item via prefix sum, so null-collision-
+    heavy media no longer idle lanes (same design as path.trace_balanced,
+    incl. per-item murmur RNG streams keyed by global sample ids).
 """
 
 from __future__ import annotations
@@ -22,59 +35,43 @@ import numpy as np
 from .. import rng
 from ..media import clip_to_aabb, medium_properties
 from ..sampling import sample_exponential_decay, uniform_sample_sphere
-from .path import _nearest_light
+from .path import _nearest_light, _path_stream_seed
 
 INF = np.float32(np.inf)
 _MAX_STEPS = 1_000_000  # safety cap; delta tracking terminates probabilistically
 
 
-def trace(scene, bvh, o, d, state, params):
-    """Returns (L (N,3), alpha (N,), state, rays=0)."""
-    n = o.shape[0]
-    medium = scene.medium
-    l_out = jnp.zeros((n, 3))
-    beta = jnp.ones((n, 3))  # never attenuated (isotropic pf == its own pdf)
+def _ratio(p, mask):
+    """p / detach(p) where mask, else 1: unit-valued gradient carrier."""
+    safe = jnp.where(mask & (p > 0.0), p, 1.0)
+    return safe / jax.lax.stop_gradient(safe)
 
-    if medium is None:
-        # no medium on the camera: every ray escapes immediately
-        le, t_l, hit = _nearest_light(
-            scene.lights, o, d, jnp.full((n,), INF)
-        )
-        return le, jnp.ones((n,)), state, jnp.zeros((), jnp.float32)
 
+def _make_vol_step(scene, medium, params, n):
+    """One delta-tracking flight step for an n-lane wavefront.
+
+    Returns step(vs) -> (vs', died) where vs is the VolState tuple and
+    `died` marks lanes whose walk ended THIS step (absorbed, scatter-depth
+    exhausted, or escaped — escape radiance is added inline).
+    """
     sigma_maj = np.float32(medium.sigma_maj)
+    bmin = jnp.asarray(medium.bounds_min)
+    bmax = jnp.asarray(medium.bounds_max)
 
-    # lane state
-    new_ray = jnp.ones((n,), bool)  # needs segment setup (u, uMode draws)
-    alive = jnp.ones((n,), bool)
-    escaped = jnp.zeros((n,), bool)
-    bounce = jnp.zeros((n,), jnp.int32)
-    u_mode = jnp.zeros((n,))
-    t_cur = jnp.zeros((n,))
-    t_exit = jnp.zeros((n,))
-
-    def cond(carry):
-        it, alive, *_ = carry
-        return jnp.any(alive) & (it < _MAX_STEPS)
-
-    def body(carry):
-        (it, alive, new_ray, escaped, bounce, u_mode, t_cur, t_exit,
-         o, d, st, l_out) = carry
+    def step(vs):
+        (alive, new_ray, bounce, u_mode, t_cur, t_exit, o, d, st, beta,
+         l_out) = vs
 
         # --- NEW_RAY: SampleT_maj entry (media.h:128-140)
         setup = alive & new_ray
         _, st = rng.masked_next_float(st, setup)  # u: drawn, unused (parity)
         um_new, st = rng.masked_next_float(st, setup)
         u_mode = jnp.where(setup, um_new, u_mode)
-        box_hit, t0, t1 = clip_to_aabb(
-            o, d, jnp.asarray(medium.bounds_min), jnp.asarray(medium.bounds_max)
-        )
+        box_hit, t0, t1 = clip_to_aabb(o, d, bmin, bmax)
         t_cur = jnp.where(setup, jnp.maximum(0.0, t0), t_cur)
         t_exit = jnp.where(setup, t1, t_exit)
         # segment exhausted immediately (missed box / behind): escape
-        esc_now = setup & (
-            ~box_hit | (t_cur + np.float32(1e-4) > t_exit)
-        )
+        esc_now = setup & (~box_hit | (t_cur + np.float32(1e-4) > t_exit))
         new_ray = jnp.where(setup, False, new_ray)
 
         # --- flight step (media.h:147-178)
@@ -91,9 +88,16 @@ def trace(scene, bvh, o, d, state, params):
         sampling_lane = in_medium & inside
         p_absorb = s_a / sigma_maj
         p_scatter = s_s / sigma_maj
-        absorb = sampling_lane & (u_mode < p_absorb)
-        scatter = sampling_lane & ~absorb & (u_mode < p_absorb + p_scatter)
+        pa_det = jax.lax.stop_gradient(p_absorb)
+        ps_det = jax.lax.stop_gradient(p_scatter)
+        absorb = sampling_lane & (u_mode < pa_det)
+        scatter = sampling_lane & ~absorb & (u_mode < pa_det + ps_det)
         null = sampling_lane & ~absorb & ~scatter
+
+        # event-probability ratios (== 1): gradients w.r.t. sigma/density
+        beta = beta * _ratio(p_absorb, absorb)[:, None]
+        beta = beta * _ratio(p_scatter, scatter)[:, None]
+        beta = beta * _ratio(1.0 - p_absorb - p_scatter, null)[:, None]
 
         # absorb: L += Le * beta, terminate (volumeintegrator.cpp:30-35)
         l_out = l_out + jnp.where(absorb[:, None], le_med * beta, 0.0)
@@ -114,20 +118,233 @@ def trace(scene, bvh, o, d, state, params):
         u_mode = jnp.where(null, um2, u_mode)
         t_cur = jnp.where(null, t, t_cur)
 
-        # escape: left the segment or the medium, or missed the box
+        # escape: left the segment or the medium, or missed the box;
+        # escaped lanes take the nearest-light pass inline
+        # (volumeintegrator.cpp:66-80)
         esc = esc_now | left_segment | left_medium
-        escaped = escaped | esc
+        le, _, _ = _nearest_light(scene.lights, o, d, jnp.full((n,), INF))
+        l_out = l_out + jnp.where(esc[:, None], le * beta, 0.0)
+
+        died = alive & (absorb | over | esc)
         alive = alive & ~(absorb | over | esc)
+        vs = (alive, new_ray, bounce, u_mode, t_cur, t_exit, o, d, st, beta,
+              l_out)
+        return vs, died
 
-        return (it + 1, alive, new_ray, escaped, bounce, u_mode, t_cur,
-                t_exit, o, d, st, l_out)
+    return step
 
-    carry = (jnp.int32(0), alive, new_ray, escaped, bounce, u_mode, t_cur,
-             t_exit, o, d, state, l_out)
-    carry = jax.lax.while_loop(cond, body, carry)
-    (_, _, _, escaped, _, _, _, _, o, d, state, l_out) = carry
 
-    # escaped lanes: nearest-light pass (volumeintegrator.cpp:66-80)
-    le, _, _ = _nearest_light(scene.lights, o, d, jnp.full((n,), INF))
-    l_out = l_out + jnp.where(escaped[:, None], le * beta, 0.0)
-    return l_out, jnp.ones((n,)), state, jnp.zeros((), jnp.float32)
+def _vol_state(n, o, d, state):
+    return (
+        jnp.ones((n,), bool),  # alive
+        jnp.ones((n,), bool),  # new_ray
+        jnp.zeros((n,), jnp.int32),  # bounce
+        jnp.zeros((n,)),  # u_mode
+        jnp.zeros((n,)),  # t_cur
+        jnp.zeros((n,)),  # t_exit
+        o,
+        d,
+        state,
+        jnp.ones((n, 3)),  # beta (unit event ratios; pf == its own pdf)
+        jnp.zeros((n, 3)),  # l_out
+    )
+
+
+def trace(scene, bvh, o, d, state, params):
+    """Lockstep per-pixel walk.  Returns (L (N,3), alpha (N,), state, rays).
+
+    rays counts walk segments (camera rays + scatter redirects) — the
+    volume analog of the path integrator's per-bounce ray count.
+    """
+    n = o.shape[0]
+    medium = scene.medium
+
+    if medium is None:
+        # no medium on the camera: every ray escapes immediately
+        le, t_l, hit = _nearest_light(scene.lights, o, d, jnp.full((n,), INF))
+        return le, jnp.ones((n,)), state, jnp.zeros((), jnp.float32)
+
+    step = _make_vol_step(scene, medium, params, n)
+
+    def cond(carry):
+        it, vs, rays = carry
+        return jnp.any(vs[0]) & (it < _MAX_STEPS)
+
+    def body(carry):
+        it, vs, rays = carry
+        rays = rays + jnp.sum((vs[0] & vs[1]).astype(jnp.float32))
+        vs, _ = step(vs)
+        return it + 1, vs, rays
+
+    carry = (jnp.int32(0), _vol_state(n, o, d, state), jnp.zeros((), jnp.float32))
+    _, vs, rays = jax.lax.while_loop(cond, body, carry)
+    (_, _, _, _, _, _, _, _, state, _, l_out) = vs
+    return l_out, jnp.ones((n,)), state, rays
+
+
+def trace_diff(scene, bvh, o, d, state, params, n_steps=512):
+    """Statically-bounded differentiable walk (reverse-AD variant of trace).
+
+    Reverse AD cannot transpose a while_loop, so the flight loop runs a
+    STATIC n_steps fori_loop with jax.checkpoint on the step body (the
+    backward pass replays each step — the same path-replay discipline as
+    grad.py).  Dead lanes are masked no-ops, so any n_steps >= the longest
+    walk gives results identical to trace().
+
+    Returns (L, alpha, state, rays, unfinished) — unfinished > 0 means
+    n_steps was too small (gradient/radiance then missing tail terms).
+    """
+    n = o.shape[0]
+    medium = scene.medium
+    if medium is None:
+        le, _, _ = _nearest_light(scene.lights, o, d, jnp.full((n,), INF))
+        return (le, jnp.ones((n,)), state, jnp.zeros((), jnp.float32),
+                jnp.zeros((), jnp.int32))
+
+    step = jax.checkpoint(_make_vol_step(scene, medium, params, n))
+
+    def body(i, carry):
+        vs, rays = carry
+        rays = rays + jnp.sum((vs[0] & vs[1]).astype(jnp.float32))
+        vs, _ = step(vs)
+        return vs, rays
+
+    vs, rays = jax.lax.fori_loop(
+        0, n_steps, body,
+        (_vol_state(n, o, d, state), jnp.zeros((), jnp.float32)),
+    )
+    alive, _, _, _, _, _, _, _, state, _, l_out = vs
+    return (l_out, jnp.ones((n,)), state, rays,
+            jnp.sum(alive.astype(jnp.int32)))
+
+
+def trace_balanced(
+    scene,
+    bvh,
+    samples,
+    params,
+    render_w,
+    render_h,
+    chunk_base=0,
+    n_lanes=0,
+    pix_offset=0,
+    n_pix_total=None,
+):
+    """Work-queue volume wavefront (same contract as path.trace_balanced).
+
+    Returns (la (spp_chunk, P, 4), rays, rounds).  Lanes are work slots:
+    when a walk ends the lane pulls the next (pixel, sample) item via a
+    prefix sum over this round's deaths.  Per-item RNG streams keyed by
+    GLOBAL (pixel, sample) ids (chunk-size / lane-count / device-count
+    invariant); the reference's per-pixel stream layout applies only to
+    the lockstep mode, as with the path integrator.
+    """
+    from .. import camera as camera_mod
+    from .path import _next_pow2
+
+    medium = scene.medium
+    spp_chunk, n_pix = samples.shape[0], samples.shape[1]
+    total = spp_chunk * n_pix
+    if not n_lanes:
+        n_lanes = 1 << max(
+            14, int(np.ceil(np.log2(max(12.0 * float(total) ** 0.5, 1.0))))
+        )
+        n_lanes = min(n_lanes, 1 << 19, _next_pow2(total))
+    n = n_lanes
+    if n_pix_total is None:
+        n_pix_total = n_pix
+    samples_flat = samples.reshape(total, 2)
+
+    def spawn(item):
+        it = jnp.clip(item, 0, total - 1)
+        jit = samples_flat[it]
+        pix = it % n_pix + jnp.int32(pix_offset)
+        s = it // n_pix
+        px = pix % render_w
+        py = pix // render_w
+        o, d = camera_mod.cast_rays(
+            scene.cam_to_world, scene.fov, params.image_width,
+            params.image_height, px, py, jit,
+        )
+        gid = (jnp.uint32(chunk_base) + s.astype(jnp.uint32)) * jnp.uint32(
+            n_pix_total
+        ) + pix.astype(jnp.uint32)
+        return o, d, _path_stream_seed(gid)
+
+    item0 = jnp.arange(n, dtype=jnp.int32)
+    o0, d0, st0 = spawn(item0)
+    vs0 = _vol_state(n, o0, d0, st0)
+    vs0 = vs0[:0] + (item0 < total,) + vs0[1:]
+
+    if medium is None:
+        le, _, _ = _nearest_light(
+            scene.lights,
+            *(
+                lambda o, d: (o, d)
+            )(*[jnp.concatenate([spawn(jnp.arange(total, dtype=jnp.int32))[i]])
+                for i in (0, 1)]),
+            jnp.full((total,), INF),
+        )
+        la = jnp.concatenate([le, jnp.ones((total, 1))], axis=-1)
+        return (
+            la.reshape(spp_chunk, n_pix, 4),
+            jnp.asarray(float(total), jnp.float32),
+            jnp.zeros((), jnp.int32),
+        )
+
+    step = _make_vol_step(scene, medium, params, n)
+
+    def cond(carry):
+        vs, item, head, la_out, rays, rounds = carry
+        return jnp.any(vs[0])
+
+    def body(carry):
+        vs, item, head, la_out, rays, rounds = carry
+        rays = rays + jnp.sum((vs[0] & vs[1]).astype(jnp.float32))
+        vs, died = step(vs)
+        (alive, new_ray, bounce, u_mode, t_cur, t_exit, o, d, st, beta,
+         l_out) = vs
+
+        # finished items write their radiance (alpha = 1, reference parity)
+        la = jnp.concatenate([l_out, jnp.ones((n, 1))], axis=-1)
+        tgt = jnp.where(died, item, total)
+        la_out = la_out.at[tgt].add(
+            jnp.where(died[:, None], la, 0.0),
+            mode="drop", unique_indices=True,
+        )
+
+        # pull next queue items
+        dy = died.astype(jnp.int32)
+        rank = jnp.cumsum(dy) - dy
+        new_item = head + rank
+        respawn = died & (new_item < total)
+        head = head + jnp.sum(dy)
+        item = jnp.where(died, new_item, item)
+
+        o_new, d_new, st_new = spawn(new_item)
+        rm = respawn[:, None]
+        vs = (
+            alive | respawn,
+            jnp.where(respawn, True, new_ray),
+            jnp.where(respawn, 0, bounce),
+            jnp.where(respawn, 0.0, u_mode),
+            jnp.where(respawn, 0.0, t_cur),
+            jnp.where(respawn, 0.0, t_exit),
+            jnp.where(rm, o_new, o),
+            jnp.where(rm, d_new, d),
+            jnp.where(respawn, st_new, st),
+            jnp.where(rm, 1.0, beta),
+            jnp.where(rm, 0.0, l_out),
+        )
+        return vs, item, head, la_out, rays, rounds + 1
+
+    carry = (
+        vs0,
+        item0,
+        jnp.int32(min(n, total)),
+        jnp.zeros((total, 4), jnp.float32),
+        jnp.zeros((), jnp.float32),
+        jnp.zeros((), jnp.int32),
+    )
+    vs, _, _, la_out, rays, rounds = jax.lax.while_loop(cond, body, carry)
+    return la_out.reshape(spp_chunk, n_pix, 4), rays, rounds

@@ -71,7 +71,7 @@ def medium_properties(medium, p):
     inside = jnp.all((p >= bmin) & (p <= bmax), axis=-1)
     p_unit = (p - bmin) / (bmax - bmin)
     dens = density_lookup(jnp.asarray(medium.density), p_unit)
-    sigma_a = np.float32(medium.sigma_a) * dens
-    sigma_s = np.float32(medium.sigma_s) * dens
+    sigma_a = jnp.asarray(medium.sigma_a) * dens
+    sigma_s = jnp.asarray(medium.sigma_s) * dens
     le = jnp.asarray(medium.le) * dens[:, None]
     return inside, sigma_a, sigma_s, le

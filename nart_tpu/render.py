@@ -152,6 +152,16 @@ class RenderSession:
         self.bvh = build_accel(
             np.asarray(scene.tri_v), params.accel, leaf_size=leaf_size
         )
+        # device-resident scene, transferred ONCE: the pytree has dozens of
+        # leaves and per-transfer overhead made a per-render() upload cost
+        # seconds on tunneled devices
+        self._scene_dev = None
+
+    @property
+    def scene_dev(self):
+        if self._scene_dev is None:
+            self._scene_dev = jax.tree_util.tree_map(jnp.asarray, self.scene)
+        return self._scene_dev
 
     def render(
         self,
@@ -181,7 +191,7 @@ class RenderSession:
         idx = jnp.arange(n, dtype=jnp.int32)
         px = idx % self.render_w
         py = idx // self.render_w
-        scene = jax.tree_util.tree_map(jnp.asarray, self.scene)
+        scene = self.scene_dev
         samples, state = _setup_jit(px, py, self.total_w, self.params.spp)
         buf = jnp.zeros((self.total_h, self.total_w, 5), jnp.float32)
         start_spp = 0
@@ -192,8 +202,11 @@ class RenderSession:
             buf = jnp.asarray(f0)
             state = jnp.asarray(s0)
         rays_total = jnp.zeros((), jnp.float32)
-        regen = (
-            self.params.wavefront in ("regen", "balanced")
+        # chunked wavefront modes: balanced covers both integrators (the
+        # volume integrator has its own work-queue machine); regen is
+        # path-only (reference per-pixel stream parity has no volume analog)
+        regen = self.params.wavefront == "balanced" or (
+            self.params.wavefront == "regen"
             and self.params.integrator != "volume"
         )
         if regen:
@@ -435,9 +448,15 @@ def _trace_balanced_jit(
     samples_chunk, scene, bvh, params, render_w, render_h, chunk_base
 ):
     """One balanced-wavefront chunk: work-queue over (pixel, sample) items
-    (path_integrator.trace_balanced).  Returns the per-sample radiance
-    table; the film splat runs in a separate jit (see render())."""
-    la, rays, _ = path_integrator.trace_balanced(
+    (path/volume trace_balanced).  Returns the per-sample radiance table;
+    the film splat runs in a separate jit (see render())."""
+    if params.integrator == "volume":
+        from .integrators import volume as volume_integrator
+
+        tracer = volume_integrator.trace_balanced
+    else:
+        tracer = path_integrator.trace_balanced
+    la, rays, _ = tracer(
         scene,
         bvh,
         samples_chunk,

@@ -98,13 +98,16 @@ class LightData:
     env2d: Optional[Env2D]  # importance distribution (texture Le only)
 
 
-@pytree_dataclass(meta_fields=("sigma_a", "sigma_s", "sigma_maj"))
+@pytree_dataclass(meta_fields=("sigma_maj",))
 @dataclass
 class MediumData:
     bounds_min: Any  # (3,)
     bounds_max: Any  # (3,)
-    sigma_a: float
-    sigma_s: float
+    # pytree LEAVES: trainable (differentiable volume rendering); the
+    # majorant stays META (a static bound baked at load — sampling pdfs are
+    # detached, so a stale-but-valid bound only costs variance, never bias)
+    sigma_a: Any  # () float32
+    sigma_s: Any  # () float32
     le: Any  # (3,)
     density: Any  # (Z, Y, X) float32
     sigma_maj: float  # global majorant: max density * (sigma_a + sigma_s)
@@ -322,8 +325,8 @@ def load_scene(scene_path: str, asset_root: Optional[str] = None) -> SceneData:
             )
             grid = None
         if grid is not None:
-            sigma_a = float(m["sigma_a"])
-            sigma_s = float(m["sigma_s"])
+            sigma_a = np.float32(m["sigma_a"])
+            sigma_s = np.float32(m["sigma_s"])
             # reference majorant: width-1 grid => single global majorant =
             # max(density verts / corner samples) * (sigma_a + sigma_s)
             sigma_maj = float(grid.density.max()) * (sigma_a + sigma_s)

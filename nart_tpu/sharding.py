@@ -94,7 +94,7 @@ def render_sharded(
 
     Returns the merged (totalH, totalW, 5) film (replicated on all devices).
     """
-    if params.wavefront == "balanced" and params.integrator != "volume":
+    if params.wavefront == "balanced":
         return _render_sharded_balanced(
             scene, bvh, params, mesh, render_w, render_h, total_w, total_h,
             filter_bounds,
@@ -203,7 +203,13 @@ def _render_sharded_balanced(
             samples, (spp0, 0, 0), (spp_local, p_local, 2)
         )
 
-        la, rays, _ = path_integrator.trace_balanced(
+        if params.integrator == "volume":
+            from .integrators import volume as volume_integrator
+
+            tracer = volume_integrator.trace_balanced
+        else:
+            tracer = path_integrator.trace_balanced
+        la, rays, _ = tracer(
             scene,
             bvh,
             samples,
