@@ -45,10 +45,24 @@ def _enable_persistent_compile_cache() -> None:
     import jax
 
     if jax.config.jax_compilation_cache_dir is None:
-        cache = os.environ.get(
+        base = os.environ.get(
             "NART_TPU_CACHE",
             os.path.join(os.path.expanduser("~"), ".cache", "nart_tpu_xla"),
         )
+        # partition by platform config: a shared dir between the TPU and
+        # CPU-test processes produced concurrently-written entries whose
+        # deserialization segfaulted readers mid-suite
+        import hashlib
+
+        plat = (
+            jax.config.jax_platforms
+            or os.environ.get("JAX_PLATFORMS")
+            or "default"
+        ).replace(",", "-")
+        flags = hashlib.sha1(
+            os.environ.get("XLA_FLAGS", "").encode()
+        ).hexdigest()[:8]
+        cache = os.path.join(base, f"{plat}-{flags}")
         try:
             os.makedirs(cache, exist_ok=True)
             jax.config.update("jax_compilation_cache_dir", cache)

@@ -103,13 +103,15 @@ def render_lanes(scene, bvh, params, width, height, spp, seed_base=0):
     """Differentiable per-pixel radiance (no film filter): (N, 3).
 
     Averages spp samples per pixel with the same RNG stream discipline as
-    the forward renderer.
+    the forward renderer (seeds are y * totalWidth + x where totalWidth
+    includes the filter border — render.cpp:81-82 / render._setup_jit).
     """
     n = width * height
     idx = jnp.arange(n, dtype=jnp.int32)
     px = idx % width
     py = idx // width
-    state = rng.seed(py * width + px + seed_base)
+    total_w = width + 2 * int(np.ceil(params.filter_width))
+    state = rng.seed(py * total_w + px + seed_base)
     samples, state = sampling.latin_square(state, spp)
 
     if params.integrator == "volume":

@@ -1015,11 +1015,12 @@ def _balanced_machine(
         # (max path length rounds while the queue empties) always costs
         # ~bounces full-price rounds, so oversized wavefronts pay bounces *
         # c(lanes) of mostly-idle work.  Minimising (work/L + bounces) *
-        # c(L) gives L* ~ sqrt(work); measured sweep on glassSphere
+        # c(L) gives L* ~ sqrt(work); measured sweeps: glassSphere
         # 512^2@16spp (16k..1M lanes): 5.6, 5.5, 5.8, 6.5, 7.6, 8.7, 11.2 s
-        # -> optimum ~32k = ~12 * sqrt(items).
+        # and cameraLens 256^2@4spp (16k/32k/64k): 1.92, 1.79, 1.84 s —
+        # both optimal at 32k, hence the floor.
         target = 12.0 * float(total) ** 0.5
-        n_lanes = 1 << max(14, int(np.ceil(np.log2(max(target, 1.0)))))
+        n_lanes = 1 << max(15, int(np.ceil(np.log2(max(target, 1.0)))))
         n_lanes = min(n_lanes, 1 << 19, _next_pow2(total))
     n = n_lanes
     if n_pix_total is None:

@@ -237,3 +237,53 @@ def test_glasssphere_golden():
         block_tol=0.35,
         block_frac=0.75,
     )
+
+
+def test_cornell_golden():
+    """Diffuse Cornell-style box (BASELINE config 2: lambert + disk light +
+    MIS).  Scene JSON lives in tests/golden/cornell.json (built on the
+    reference's plane/sphere meshes); golden rendered by the reference
+    binary.  Diffuse transport is non-chaotic, so tolerances are
+    veach-grade."""
+    from nart_tpu import render as render_mod
+    from nart_tpu.scene import load_scene
+
+    scene = load_scene(
+        os.path.join(GOLDEN, "cornell.json"), asset_root="/root/reference"
+    )
+    params = render_mod.resolve_params(
+        {}, dict(image_width=64, image_height=64, spp=8, bounces=6)
+    )
+    sess = render_mod.RenderSession(scene, params)
+    _compare(
+        sess.image(),
+        os.path.join(GOLDEN, "cornell_64x64_8spp.exr"),
+        mean_tol=0.02,
+        block_tol=0.1,
+        block_frac=0.9,
+    )
+
+
+@pytest.mark.skipif(
+    not os.environ.get("NART_SLOW_TESTS"),
+    reason="full config-2 spp (set NART_SLOW_TESTS=1)",
+)
+def test_cornell_golden_64spp():
+    """BASELINE config 2 at its full 64 spp (tight tolerances)."""
+    from nart_tpu import render as render_mod
+    from nart_tpu.scene import load_scene
+
+    scene = load_scene(
+        os.path.join(GOLDEN, "cornell.json"), asset_root="/root/reference"
+    )
+    params = render_mod.resolve_params(
+        {}, dict(image_width=128, image_height=128, spp=64, bounces=6)
+    )
+    sess = render_mod.RenderSession(scene, params)
+    _compare(
+        sess.image(),
+        os.path.join(GOLDEN, "cornell_128x128_64spp.exr"),
+        mean_tol=0.015,
+        block_tol=0.05,
+        block_frac=0.95,
+    )
