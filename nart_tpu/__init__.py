@@ -14,8 +14,9 @@ Layer map (bottom → top), mirroring the reference's layering (SURVEY.md §1):
   exr.py          EXR image I/O (OpenEXR lib via ctypes + pure-Python codec)
   geo.py          .geo mesh parsing + fan triangulation (scene.cpp parity)
   vol.py          .vol density-grid parsing
-  texture.py      texture patterns + 2D CDF importance sampling
   scene.py        JSON scene -> frozen SoA pytree of device arrays
+                  (texture patterns live in materials.py; the env-map 2D
+                  CDF build/sample/pdf in scene.py + lights.py)
   camera.py       pinhole ray generation
   geometry.py     watertight ray-triangle intersection (vectorised)
   accel.py        LBVH build (Morton) + wavefront traversal
@@ -49,10 +50,15 @@ def _enable_persistent_compile_cache() -> None:
             "NART_TPU_CACHE",
             os.path.join(os.path.expanduser("~"), ".cache", "nart_tpu_xla"),
         )
-        # partition by platform config: a shared dir between the TPU and
-        # CPU-test processes produced concurrently-written entries whose
-        # deserialization segfaulted readers mid-suite
+        # Partition by platform config AND host identity: a shared dir
+        # between the TPU and CPU-test processes produced
+        # concurrently-written entries whose deserialization segfaulted
+        # readers mid-suite, and CPU AOT entries baked for one host
+        # generation (e.g. "+prefer-no-gather" feature sets) SIGILL/segfault
+        # when loaded on another — XLA's own cache key does not cover host
+        # CPU features, so they go into the directory name instead.
         import hashlib
+        import platform as _platform
 
         plat = (
             jax.config.jax_platforms
@@ -62,7 +68,19 @@ def _enable_persistent_compile_cache() -> None:
         flags = hashlib.sha1(
             os.environ.get("XLA_FLAGS", "").encode()
         ).hexdigest()[:8]
-        cache = os.path.join(base, f"{plat}-{flags}")
+        host_bits = [_platform.machine(), _platform.processor()]
+        seen = set()
+        try:
+            with open("/proc/cpuinfo") as f:
+                for line in f:  # first core's lines identify the host
+                    k = line.split(":", 1)[0].strip()
+                    if k in ("flags", "model name", "Features") and k not in seen:
+                        seen.add(k)
+                        host_bits.append(line.strip())
+        except OSError:
+            pass
+        host = hashlib.sha1("|".join(host_bits).encode()).hexdigest()[:8]
+        cache = os.path.join(base, f"{plat}-{flags}-{host}")
         try:
             os.makedirs(cache, exist_ok=True)
             jax.config.update("jax_compilation_cache_dir", cache)

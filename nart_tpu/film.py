@@ -11,6 +11,7 @@ Channel layout: [r, g, b, a, filterWeightSum].
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -200,13 +201,20 @@ def splat_grid(
     # (test_integrator.test_balanced_matches_regen asserts array_equal).
     # The sharded slab path uses the spp-fused splat_windows directly (its
     # contract vs single-chip is 1e-6, not bit-exact).
+    #
+    # The sample axis rides lax.scan, NOT a Python loop: a 16-sample chunk
+    # unrolled to 16 x K^2 tap bodies was the single most expensive compile
+    # of a render (67 s of the cold start at 512^2); the scan body compiles
+    # once and the sequential fold is the same math.
     if l_alpha.ndim == 2:
         jitter = jitter[None]
         l_alpha = l_alpha[None]
     h_tot, w_tot, _ = film.shape
-    for s in range(l_alpha.shape[0]):
+
+    def one_sample(film, sj):
+        s_jitter, s_la = sj
         acc = splat_windows(
-            jitter[s], l_alpha[s], filter_width, table, render_w, render_h,
+            s_jitter, s_la, filter_width, table, render_w, render_h,
             filter_bounds,
         )
         acc = acc[:h_tot, :w_tot]
@@ -216,7 +224,9 @@ def splat_grid(
             acc = jnp.pad(
                 acc, ((0, max(pad_h, 0)), (0, max(pad_w, 0)), (0, 0))
             )
-        film = film + acc
+        return film + acc, None
+
+    film, _ = jax.lax.scan(one_sample, film, (jitter, l_alpha))
     return film
 
 

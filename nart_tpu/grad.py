@@ -99,12 +99,18 @@ def put_params(scene: SceneData, theta):
     return SceneData(**kw)
 
 
-def render_lanes(scene, bvh, params, width, height, spp, seed_base=0):
+def render_lanes(scene, bvh, params, width, height, spp, seed_base=0,
+                 return_aux=False):
     """Differentiable per-pixel radiance (no film filter): (N, 3).
 
     Averages spp samples per pixel with the same RNG stream discipline as
     the forward renderer (seeds are y * totalWidth + x where totalWidth
     includes the filter border — render.cpp:81-82 / render._setup_jit).
+
+    With return_aux=True also returns {"unfinished": int32} — the total
+    volume-walk lanes that exceeded trace_diff's static step bound across
+    all spp passes.  unfinished > 0 means radiance/gradients silently lost
+    tail terms; callers should surface it (loss_and_grad raises).
     """
     n = width * height
     idx = jnp.arange(n, dtype=jnp.int32)
@@ -121,29 +127,34 @@ def render_lanes(scene, bvh, params, width, height, spp, seed_base=0):
             # statically-bounded replayable walk (reverse AD cannot
             # transpose the production while_loop); 512 flight steps
             # covers any practical walk at reference majorants
-            l, a, state, rays, _ = volume_integrator.trace_diff(
+            l, a, state, rays, unfinished = volume_integrator.trace_diff(
                 scene, bvh, o, d, state, params
             )
-            return l, a, state, rays
+            return l, a, state, unfinished
     else:
         def tracer(o, d, state):
-            return path_integrator.trace(
+            l, a, state, _ = path_integrator.trace(
                 scene, bvh, o, d, state, params, differentiable=True
             )
+            return l, a, state, jnp.zeros((), jnp.int32)
 
     def spp_body(i, carry):
-        acc, state = carry
+        acc, state, unfinished = carry
         s = samples[:, i]
         o, d = camera.cast_rays(
             scene.cam_to_world, scene.fov, width, height, px, py, s
         )
-        l, a, state, _ = tracer(o, d, state)
-        return acc + l, state
+        l, a, state, unf = tracer(o, d, state)
+        return acc + l, state, unfinished + unf
 
-    acc, _ = jax.lax.fori_loop(
-        0, spp, spp_body, (jnp.zeros((n, 3)), state)
+    acc, _, unfinished = jax.lax.fori_loop(
+        0, spp, spp_body,
+        (jnp.zeros((n, 3)), state, jnp.zeros((), jnp.int32)),
     )
-    return acc / np.float32(spp)
+    out = acc / np.float32(spp)
+    if return_aux:
+        return out, {"unfinished": unfinished}
+    return out
 
 
 def radiance_weighted_loss_and_grad(
@@ -173,55 +184,79 @@ def radiance_weighted_loss_and_grad(
     item, so the replay traces the identical paths).
 
     Pass n_rounds (from a previous call at the same scene/chunk shape — the
-    round count is deterministic) to skip the measuring forward.
+    round count is deterministic per theta) to skip the measuring forward.
+    Round counts DRIFT with theta (lobe/RR decisions sample from
+    theta-dependent distributions), so a stale cached n_rounds can be too
+    small: the replay then reports unfinished lanes and this function
+    re-measures and retries instead of failing — a training loop caching
+    n_rounds across optimizer steps pays at most one extra recompile when
+    the padded count grows.
 
     Returns (loss, grads, rays, n_rounds) where rays counts the AD
     forward's traced rays (one forward pass's worth).
     """
     scene = jax.tree_util.tree_map(jnp.asarray, scene)
 
-    if n_rounds is None:
+    def measure():
+        # measure at the CURRENT theta: round counts depend on it (lobe
+        # choices sample u < fresnel(eta), RR on beta)
         _, _, rounds = _measure_rounds_jit(
-            scene, bvh, samples, params, width, height, chunk_base, lanes
+            put_params(scene, theta), bvh, samples, params, width, height,
+            chunk_base, lanes,
         )
         # pad up: fewer recompiles across chunks/steps (extra rounds are
         # cheap no-ops at the small auto lane counts)
         pad = 4 if int(rounds) < 64 else 16
-        n_rounds = int(np.ceil(max(int(rounds), 1) / pad) * pad)
+        return int(np.ceil(max(int(rounds), 1) / pad) * pad)
 
-    (loss, (rays, unfinished)), grads = _balanced_grad_jit(
-        scene,
-        theta,
-        bvh,
-        samples,
-        cot,
-        params,
-        width,
-        height,
-        n_rounds,
-        chunk_base,
-        lanes,
-    )
-    if int(unfinished):
-        raise AssertionError(
-            f"balanced grad replay truncated: {int(unfinished)} lanes alive "
-            f"after {n_rounds} rounds"
+    if n_rounds is None:
+        n_rounds = measure()
+
+    for attempt in range(3):
+        (loss, (rays, unfinished)), grads = _balanced_grad_jit(
+            scene,
+            theta,
+            bvh,
+            samples,
+            cot,
+            params,
+            width,
+            height,
+            n_rounds,
+            chunk_base,
+            lanes,
         )
-    return loss, grads, rays, n_rounds
+        if not int(unfinished):
+            return loss, grads, rays, n_rounds
+        # theta drifted past the cached round count: re-measure against the
+        # CURRENT scene (which embeds theta via the caller) and grow.  The
+        # pow-of-pad n_rounds bounds recompiles across steps.
+        n_rounds = max(measure(), 2 * n_rounds)
+    raise AssertionError(
+        f"balanced grad replay truncated: {int(unfinished)} lanes alive "
+        f"after {n_rounds} rounds (3 regrow attempts)"
+    )
 
 
-@functools.partial(
-    jax.jit, static_argnames=("params", "width", "height", "lanes")
-)
 def _measure_rounds_jit(
     scene, bvh, samples, params, width, height, chunk_base, lanes
 ):
-    from .integrators import path as path_integrator
+    # shares render._trace_balanced_jit's cache entry: a flow that already
+    # rendered forward (bench, training loop) measures rounds for free
+    from . import render as render_mod
 
-    return path_integrator.trace_balanced(
-        scene, bvh, samples, params, width, height,
-        chunk_base=chunk_base, n_lanes=lanes,
+    return render_mod._trace_balanced_jit(
+        samples, scene, bvh, params, width, height, chunk_base,
+        n_lanes=lanes,
     )
+
+
+def _balanced_loss_fn(params):
+    if params.integrator == "volume":
+        from .integrators import volume as volume_integrator
+
+        return volume_integrator.trace_balanced_loss
+    return path_integrator.trace_balanced_loss
 
 
 @functools.partial(
@@ -241,11 +276,11 @@ def _balanced_grad_jit(
     chunk_base,
     lanes,
 ):
-    from .integrators import path as path_integrator
+    loss_fn = _balanced_loss_fn(params)
 
     def f(theta):
         scn = put_params(scene, theta)
-        loss, rays, unfinished = path_integrator.trace_balanced_loss(
+        loss, rays, unfinished = loss_fn(
             scn, bvh, samples, cot, params, width, height, n_rounds,
             chunk_base=chunk_base, n_lanes=lanes,
         )
@@ -270,7 +305,16 @@ def loss_and_grad(scene, params, width, height, spp, loss_fn, leaf_size=8):
     @jax.jit
     def f(theta):
         scn = put_params(scene, theta)
-        lanes = render_lanes(scn, bvh, params, width, height, spp)
-        return loss_fn(lanes.reshape(height, width, 3))
+        lanes, aux = render_lanes(
+            scn, bvh, params, width, height, spp, return_aux=True
+        )
+        return loss_fn(lanes.reshape(height, width, 3)), aux
 
-    return jax.value_and_grad(f)(theta0)
+    (loss, aux), grads = jax.value_and_grad(f, has_aux=True)(theta0)
+    if int(aux["unfinished"]):
+        raise AssertionError(
+            f"volume trace_diff truncated: {int(aux['unfinished'])} walks "
+            "exceeded the static step bound; radiance/gradients lost tail "
+            "terms (raise n_steps or lower the majorant)"
+        )
+    return loss, grads

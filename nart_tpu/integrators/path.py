@@ -859,8 +859,10 @@ def trace_balanced(
     def body(carry):
         core, la_out, rounds = carry
         core, dying, la, item = step(core)
-        # finished items write their radiance (unique rows; sentinel drop)
-        tgt = jnp.where(dying, item, total)
+        # finished items write their radiance; non-dying lanes scatter to
+        # DISTINCT out-of-bounds sentinels (total + lane) so the
+        # unique_indices promise holds unconditionally
+        tgt = jnp.where(dying, item, total + jnp.arange(dying.shape[0]))
         la_out = la_out.at[tgt].add(
             jnp.where(dying[:, None], la, 0.0),
             mode="drop",

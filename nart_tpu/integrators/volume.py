@@ -218,31 +218,50 @@ def trace_diff(scene, bvh, o, d, state, params, n_steps=512):
             jnp.sum(alive.astype(jnp.int32)))
 
 
-def trace_balanced(
-    scene,
-    bvh,
-    samples,
-    params,
-    render_w,
-    render_h,
-    chunk_base=0,
-    n_lanes=0,
-    pix_offset=0,
-    n_pix_total=None,
-):
-    """Work-queue volume wavefront (same contract as path.trace_balanced).
+def _no_medium_la(scene, samples, params, render_w, pix_offset):
+    """No medium on the camera: every item escapes to the light pass.
 
-    Returns (la (spp_chunk, P, 4), rays, rounds).  Lanes are work slots:
-    when a walk ends the lane pulls the next (pixel, sample) item via a
-    prefix sum over this round's deaths.  Per-item RNG streams keyed by
-    GLOBAL (pixel, sample) ids (chunk-size / lane-count / device-count
-    invariant); the reference's per-pixel stream layout applies only to
-    the lockstep mode, as with the path integrator.
+    Evaluated one spp-slice at a time (lax.map over the chunk axis) so peak
+    memory stays O(n_pix) regardless of the chunk size.
+    """
+    from .. import camera as camera_mod
+
+    spp_chunk, n_pix = samples.shape[0], samples.shape[1]
+    pix = jnp.arange(n_pix, dtype=jnp.int32) + jnp.int32(pix_offset)
+    px = pix % render_w
+    py = pix // render_w
+
+    def one_spp(jit):
+        o, d = camera_mod.cast_rays(
+            scene.cam_to_world, scene.fov, params.image_width,
+            params.image_height, px, py, jit,
+        )
+        le, _, _ = _nearest_light(scene.lights, o, d, jnp.full((n_pix,), INF))
+        return jnp.concatenate([le, jnp.ones((n_pix, 1))], axis=-1)
+
+    la = jax.lax.map(one_spp, samples)  # (spp_chunk, n_pix, 4)
+    return (
+        la,
+        jnp.asarray(float(spp_chunk * n_pix), jnp.float32),
+        jnp.zeros((), jnp.int32),
+    )
+
+
+def _balanced_vol_machine(
+    scene, medium, samples, params, render_w, render_h, chunk_base, n_lanes,
+    pix_offset, n_pix_total,
+):
+    """Shared work-queue machinery (volume analog of path._balanced_machine).
+
+    Returns (core0, step_round) where step_round(core) ->
+    (core', died, la, item_before, segment_starts): `la` is the RGBA
+    radiance of lanes whose walk ended this round, `item_before` the item
+    they carried, `segment_starts` the number of fresh segments begun (the
+    volume ray counter).
     """
     from .. import camera as camera_mod
     from .path import _next_pow2
 
-    medium = scene.medium
     spp_chunk, n_pix = samples.shape[0], samples.shape[1]
     total = spp_chunk * n_pix
     if not n_lanes:
@@ -274,46 +293,21 @@ def trace_balanced(
     item0 = jnp.arange(n, dtype=jnp.int32)
     o0, d0, st0 = spawn(item0)
     vs0 = _vol_state(n, o0, d0, st0)
-    vs0 = vs0[:0] + (item0 < total,) + vs0[1:]
-
-    if medium is None:
-        le, _, _ = _nearest_light(
-            scene.lights,
-            *(
-                lambda o, d: (o, d)
-            )(*[jnp.concatenate([spawn(jnp.arange(total, dtype=jnp.int32))[i]])
-                for i in (0, 1)]),
-            jnp.full((total,), INF),
-        )
-        la = jnp.concatenate([le, jnp.ones((total, 1))], axis=-1)
-        return (
-            la.reshape(spp_chunk, n_pix, 4),
-            jnp.asarray(float(total), jnp.float32),
-            jnp.zeros((), jnp.int32),
-        )
+    vs0 = (item0 < total,) + vs0[1:]
+    core0 = (vs0, item0, jnp.int32(min(n, total)))
 
     step = _make_vol_step(scene, medium, params, n)
 
-    def cond(carry):
-        vs, item, head, la_out, rays, rounds = carry
-        return jnp.any(vs[0])
-
-    def body(carry):
-        vs, item, head, la_out, rays, rounds = carry
-        rays = rays + jnp.sum((vs[0] & vs[1]).astype(jnp.float32))
+    def step_round(core):
+        vs, item, head = core
+        segment_starts = jnp.sum((vs[0] & vs[1]).astype(jnp.float32))
         vs, died = step(vs)
         (alive, new_ray, bounce, u_mode, t_cur, t_exit, o, d, st, beta,
          l_out) = vs
-
-        # finished items write their radiance (alpha = 1, reference parity)
         la = jnp.concatenate([l_out, jnp.ones((n, 1))], axis=-1)
-        tgt = jnp.where(died, item, total)
-        la_out = la_out.at[tgt].add(
-            jnp.where(died[:, None], la, 0.0),
-            mode="drop", unique_indices=True,
-        )
+        item_before = item
 
-        # pull next queue items
+        # pull next queue items (prefix sum over this round's deaths)
         dy = died.astype(jnp.int32)
         rank = jnp.cumsum(dy) - dy
         new_item = head + rank
@@ -336,15 +330,130 @@ def trace_balanced(
             jnp.where(rm, 1.0, beta),
             jnp.where(rm, 0.0, l_out),
         )
-        return vs, item, head, la_out, rays, rounds + 1
+        return (vs, item, head), died, la, item_before, segment_starts
+
+    return core0, step_round, n, total
+
+
+def trace_balanced(
+    scene,
+    bvh,
+    samples,
+    params,
+    render_w,
+    render_h,
+    chunk_base=0,
+    n_lanes=0,
+    pix_offset=0,
+    n_pix_total=None,
+):
+    """Work-queue volume wavefront (same contract as path.trace_balanced).
+
+    Returns (la (spp_chunk, P, 4), rays, rounds).  Lanes are work slots:
+    when a walk ends the lane pulls the next (pixel, sample) item via a
+    prefix sum over this round's deaths.  Per-item RNG streams keyed by
+    GLOBAL (pixel, sample) ids (chunk-size / lane-count / device-count
+    invariant); the reference's per-pixel stream layout applies only to
+    the lockstep mode, as with the path integrator.
+    """
+    medium = scene.medium
+    spp_chunk, n_pix = samples.shape[0], samples.shape[1]
+    if medium is None:
+        return _no_medium_la(scene, samples, params, render_w, pix_offset)
+
+    core0, step_round, n, total = _balanced_vol_machine(
+        scene, medium, samples, params, render_w, render_h, chunk_base,
+        n_lanes, pix_offset, n_pix_total,
+    )
+    lane_idx = jnp.arange(n, dtype=jnp.int32)
+
+    def cond(carry):
+        core, la_out, rays, rounds = carry
+        # iteration cap: a degenerate medium (NaN density, near-zero flight
+        # steps) must fail fast instead of spinning the device loop
+        return jnp.any(core[0][0]) & (rounds < _MAX_STEPS)
+
+    def body(carry):
+        core, la_out, rays, rounds = carry
+        core, died, la, item, seg = step_round(core)
+        # finished items write their radiance (alpha = 1, reference
+        # parity).  Non-dying lanes scatter to distinct out-of-bounds
+        # sentinels (total + lane) so the unique_indices promise holds.
+        tgt = jnp.where(died, item, total + lane_idx)
+        la_out = la_out.at[tgt].add(
+            jnp.where(died[:, None], la, 0.0),
+            mode="drop", unique_indices=True,
+        )
+        return core, la_out, rays + seg, rounds + 1
 
     carry = (
-        vs0,
-        item0,
-        jnp.int32(min(n, total)),
+        core0,
         jnp.zeros((total, 4), jnp.float32),
         jnp.zeros((), jnp.float32),
         jnp.zeros((), jnp.int32),
     )
-    vs, _, _, la_out, rays, rounds = jax.lax.while_loop(cond, body, carry)
+    _, la_out, rays, rounds = jax.lax.while_loop(cond, body, carry)
     return la_out.reshape(spp_chunk, n_pix, 4), rays, rounds
+
+
+def trace_balanced_loss(
+    scene,
+    bvh,
+    samples,
+    cot,
+    params,
+    render_w,
+    render_h,
+    n_rounds,
+    chunk_base=0,
+    n_lanes=0,
+    pix_offset=0,
+    n_pix_total=None,
+):
+    """Differentiable balanced volume wavefront: loss = sum(cot * la).
+
+    The volume analog of path.trace_balanced_loss: the caller measures the
+    round count with trace_balanced (cheap while_loop), then this replays
+    the exact same rounds under a static fori_loop with jax.checkpoint on
+    each round — decisions are deterministic per work item, and the event-
+    probability ratio carriers (_ratio) route gradients to sigma_a/sigma_s/
+    density/Le without touching forward values.  Accumulating the scalar
+    cotangent-weighted radiance keeps the per-round carry O(lanes): full
+    wavefront utilisation for the backward pass, unlike trace_diff's
+    O(all-lanes x max-walk-length) lockstep.
+
+    Returns (loss, rays, unfinished); unfinished > 0 means n_rounds was too
+    small (rerun with more rounds).
+    """
+    medium = scene.medium
+    spp_chunk, n_pix = samples.shape[0], samples.shape[1]
+    total = spp_chunk * n_pix
+    if medium is None:
+        la, rays, _ = _no_medium_la(scene, samples, params, render_w,
+                                    pix_offset)
+        loss = jnp.sum(cot * la)
+        return loss, rays, jnp.zeros((), jnp.int32)
+
+    core0, step_round, n, total = _balanced_vol_machine(
+        scene, medium, samples, params, render_w, render_h, chunk_base,
+        n_lanes, pix_offset, n_pix_total,
+    )
+    cot_flat = jnp.reshape(cot, (total, 4))
+
+    def round_body(core, loss, rays):
+        core, died, la, item, seg = step_round(core)
+        c = cot_flat[jnp.clip(item, 0, total - 1)]
+        contrib = jnp.sum(c * la, axis=-1) * died.astype(jnp.float32)
+        return core, loss + jnp.sum(contrib), rays + seg
+
+    round_ckpt = jax.checkpoint(round_body)
+
+    def body(i, carry):
+        return round_ckpt(*carry)
+
+    core, loss, rays = jax.lax.fori_loop(
+        0, n_rounds, body,
+        (core0, jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32)),
+    )
+    unfinished = jnp.sum(core[0][0].astype(jnp.int32))
+    return loss, rays, unfinished

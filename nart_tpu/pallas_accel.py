@@ -186,7 +186,10 @@ def build_block_lists(o, d, t_max, accel: ClusterAccel, block):
     int32).
     """
     visible, entry_lb = _block_cluster_bounds(o, d, t_max, accel.aabb, block)
-    key = jnp.where(visible, entry_lb, INF)
+    # clamp visible keys below +inf: near-degenerate direction intervals can
+    # overflow entry_lb to +inf, which would tie with invisible padding in
+    # the argsort and let a visible cluster sort past the cl_count cutoff
+    key = jnp.where(visible, jnp.minimum(entry_lb, np.float32(3.0e38)), INF)
     cl_list = jnp.argsort(key, axis=1).astype(jnp.int32)
     cl_entry = jnp.take_along_axis(key, cl_list, axis=1)
     cl_count = visible.sum(axis=1).astype(jnp.int32)

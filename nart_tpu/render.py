@@ -229,7 +229,7 @@ class RenderSession:
                 # wavefront loop carries (measured 3.5x runtime and minutes
                 # of extra compile, optimization_barrier notwithstanding)
                 if self.params.wavefront == "balanced":
-                    la, rays = _trace_balanced_jit(
+                    la, rays, _ = _trace_balanced_jit(
                         samples[i:j], scene, self.bvh, self.params,
                         self.render_w, self.render_h, jnp.int32(i),
                     )
@@ -442,21 +442,27 @@ def _spp_step_jit(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("params", "render_w", "render_h"),
+    static_argnames=("params", "render_w", "render_h", "n_lanes"),
 )
 def _trace_balanced_jit(
-    samples_chunk, scene, bvh, params, render_w, render_h, chunk_base
+    samples_chunk, scene, bvh, params, render_w, render_h, chunk_base,
+    n_lanes=0,
 ):
     """One balanced-wavefront chunk: work-queue over (pixel, sample) items
-    (path/volume trace_balanced).  Returns the per-sample radiance table;
-    the film splat runs in a separate jit (see render())."""
+    (path/volume trace_balanced).  Returns (la, rays, rounds); the film
+    splat runs in a separate jit (see render()).
+
+    This is also grad.py's round-count measuring program (same jit cache
+    entry): sharing it means a bench/training flow that already rendered
+    forward pays ZERO extra compiles to measure its replay round counts.
+    """
     if params.integrator == "volume":
         from .integrators import volume as volume_integrator
 
         tracer = volume_integrator.trace_balanced
     else:
         tracer = path_integrator.trace_balanced
-    la, rays, _ = tracer(
+    la, rays, rounds = tracer(
         scene,
         bvh,
         samples_chunk,
@@ -464,9 +470,9 @@ def _trace_balanced_jit(
         render_w,
         render_h,
         chunk_base=chunk_base,
-        n_lanes=params.lanes,
+        n_lanes=n_lanes or params.lanes,
     )
-    return la, rays
+    return la, rays, rounds
 
 
 @functools.partial(

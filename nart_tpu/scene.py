@@ -94,7 +94,11 @@ class LightData:
     # leaf intensity carries gradients through every Le evaluation
     intensity: Any  # () float32
     le_const: Any  # (3,)
-    le_tex: Any  # None or (h, w, 3) float32 texture (already v-unflipped? no — raw image rows)
+    # None or (h, w, 3) float32 texture, stored as RAW image rows (no
+    # preprocessing); the reference's v-flip happens at LOOKUP (1 - v, like
+    # TexturePattern::GetValue, texturepattern.cpp:172-188) in lights.py's
+    # _le_value and sample-site fetch
+    le_tex: Any
     env2d: Optional[Env2D]  # importance distribution (texture Le only)
 
 
