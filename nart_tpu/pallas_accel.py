@@ -43,25 +43,59 @@ from .geometry import Hit, ray_shear
 from .tree import pytree_dataclass
 
 INF = np.float32(np.inf)
-CLUSTER = 128  # triangles per cluster == VPU lane width
+# default triangles per cluster.  The watertight test runs a (csize, BLOCK)
+# tile per visited cluster with triangles on the SUBLANE axis, so any
+# multiple of 8 works; smaller clusters have tighter AABBs (fewer wasted
+# triangle tests on large meshes) at more slab tests.  Per-accel static
+# (ClusterAccel.csize); env-overridable for tuning.
+CLUSTER = 128
+# rays per kernel block (grid step).  Smaller blocks see tighter interval
+# bounds (better culling on incoherent wavefronts) at more grid steps;
+# 512 measured best on the reference scenes.  Env-overridable for tuning.
+import os as _os
+
+BLOCK = int(_os.environ.get("NART_PALLAS_BLOCK", "512"))
 
 
-@pytree_dataclass(meta_fields=("n_clusters", "n_tris"))
+# target size of the SUPERCLUSTER visit list: the per-block XLA prefilter
+# (interval test + argsort) runs at this granularity, so its cost stops
+# scaling with triangle count — 738-cluster cameraLens paid an
+# argsort(nb x 738) per bounce before the second level
+SUPER_TARGET = 64
+
+
+@pytree_dataclass(
+    meta_fields=("n_clusters", "n_tris", "n_sc", "sc_size", "csize")
+)
 @dataclass
 class ClusterAccel:
-    """Morton-ordered triangle clusters, lane-aligned coordinate planes."""
+    """Two-level Morton-ordered triangle clusters.
 
-    planes: Any  # (13, n_clusters, CLUSTER): v0x v0y v0z v1x..v2z nx ny nz v0n
-    order: Any  # (n_clusters * CLUSTER,) int32 original tri id (-1 padding)
+    Level 0: clusters of CLUSTER=128 triangles, lane-aligned coordinate
+    planes.  Level 1: superclusters of sc_size consecutive (Morton-ordered)
+    clusters — the granularity of the per-block visit lists.  sc_size is 1
+    for scenes under SUPER_TARGET clusters (the second level degenerates to
+    the first: zero overhead), else ceil(n_clusters / SUPER_TARGET).
+    """
+
+    planes: Any  # (13, n_clusters, csize): v0x v0y v0z v1x..v2z nx ny nz v0n
+    order: Any  # (n_clusters * csize,) int32 original tri id (-1 padding)
     aabb: Any  # (6, n_clusters): lox loy loz hix hiy hiz (lane-major layout)
+    sc_aabb: Any  # (6, n_sc): supercluster AABBs, same layout
     cl_lo: Any  # (n_clusters, 3) — kept for oracle/mask tests
     cl_hi: Any  # (n_clusters, 3)
     n_clusters: int
     n_tris: int
+    n_sc: int
+    sc_size: int
+    csize: int
 
 
-def build_clusters(tri_v: np.ndarray) -> ClusterAccel:
+def build_clusters(tri_v: np.ndarray, super_target=SUPER_TARGET,
+                   csize=None) -> ClusterAccel:
     tri_v = np.asarray(tri_v, np.float32)
+    if csize is None:
+        csize = int(_os.environ.get("NART_CLUSTER_SIZE", "0")) or CLUSTER
     t = len(tri_v)
     lo = tri_v.min(axis=1)
     hi = tri_v.max(axis=1)
@@ -71,8 +105,11 @@ def build_clusters(tri_v: np.ndarray) -> ClusterAccel:
     codes = morton3(*((centroid - scene_lo) / extent).T)
     order = np.argsort(codes, kind="stable").astype(np.int32)
 
-    n_cl = max(1, -(-t // CLUSTER))
-    t_pad = n_cl * CLUSTER
+    n_cl = max(1, -(-t // csize))
+    sc_size = max(1, -(-n_cl // super_target))
+    n_cl = -(-n_cl // sc_size) * sc_size  # pad to a whole supercluster grid
+    n_sc = n_cl // sc_size
+    t_pad = n_cl * csize
     order_p = np.full(t_pad, -1, np.int32)
     order_p[:t] = order
     tv = np.zeros((t_pad, 3, 3), np.float32)
@@ -87,24 +124,34 @@ def build_clusters(tri_v: np.ndarray) -> ClusterAccel:
             n[:, 0], n[:, 1], n[:, 2],
             v0n,
         ]
-    ).reshape(13, n_cl, CLUSTER)
+    ).reshape(13, n_cl, csize)
 
     lo_p = np.full((t_pad, 3), INF, np.float32)
     hi_p = np.full((t_pad, 3), -INF, np.float32)
     lo_p[:t] = lo[order]
     hi_p[:t] = hi[order]
-    cl_lo = lo_p.reshape(n_cl, CLUSTER, 3).min(axis=1)
-    cl_hi = hi_p.reshape(n_cl, CLUSTER, 3).max(axis=1)
+    cl_lo = lo_p.reshape(n_cl, csize, 3).min(axis=1)
+    cl_hi = hi_p.reshape(n_cl, csize, 3).max(axis=1)
+    # empty (all-padding) clusters keep (+inf, -inf) bounds: every slab /
+    # interval test rejects them, and their zeroed planes cannot hit
+    sc_lo = cl_lo.reshape(n_sc, sc_size, 3).min(axis=1)
+    sc_hi = cl_hi.reshape(n_sc, sc_size, 3).max(axis=1)
     return ClusterAccel(
         planes=jnp.asarray(planes.astype(np.float32)),
         order=jnp.asarray(order_p),
         aabb=jnp.asarray(
             np.concatenate([cl_lo.T, cl_hi.T], axis=0).astype(np.float32)
         ),
+        sc_aabb=jnp.asarray(
+            np.concatenate([sc_lo.T, sc_hi.T], axis=0).astype(np.float32)
+        ),
         cl_lo=jnp.asarray(cl_lo),
         cl_hi=jnp.asarray(cl_hi),
         n_clusters=n_cl,
         n_tris=t,
+        n_sc=n_sc,
+        sc_size=sc_size,
+        csize=csize,
     )
 
 
@@ -178,26 +225,31 @@ def block_cluster_mask(o, d, t_max, cl_lo, cl_hi, block):
 
 
 def build_block_lists(o, d, t_max, accel: ClusterAccel, block):
-    """Compacted front-to-back per-block cluster visit lists.
+    """Compacted front-to-back per-block SUPERCLUSTER visit lists.
 
-    Returns (cl_list (nb, nc) int32 — visible cluster ids sorted by the
-    block's entry-t lower bound, padding after count; cl_entry (nb, nc)
-    f32 — the sorted entry lower bounds, +inf padding; cl_count (nb,)
-    int32).
+    Returns (sc_list (nb, n_sc) int32 — visible supercluster ids sorted by
+    the block's entry-t lower bound, padding after count; sc_entry (nb,
+    n_sc) f32 — the sorted entry lower bounds, +inf padding; sc_count
+    (nb,) int32).  Working at the supercluster level keeps this prefilter
+    (interval test + argsort) O(SUPER_TARGET) per block regardless of the
+    scene's cluster count; the kernel refines with per-ray slab tests of
+    the member clusters.
     """
-    visible, entry_lb = _block_cluster_bounds(o, d, t_max, accel.aabb, block)
+    visible, entry_lb = _block_cluster_bounds(
+        o, d, t_max, accel.sc_aabb, block
+    )
     # clamp visible keys below +inf: near-degenerate direction intervals can
     # overflow entry_lb to +inf, which would tie with invisible padding in
-    # the argsort and let a visible cluster sort past the cl_count cutoff
+    # the argsort and let a visible supercluster sort past the count cutoff
     key = jnp.where(visible, jnp.minimum(entry_lb, np.float32(3.0e38)), INF)
-    cl_list = jnp.argsort(key, axis=1).astype(jnp.int32)
-    cl_entry = jnp.take_along_axis(key, cl_list, axis=1)
-    cl_count = visible.sum(axis=1).astype(jnp.int32)
-    # (nb, 1, nc): Mosaic requires the last two block dims be (8, 128)-
+    sc_list = jnp.argsort(key, axis=1).astype(jnp.int32)
+    sc_entry = jnp.take_along_axis(key, sc_list, axis=1)
+    sc_count = visible.sum(axis=1).astype(jnp.int32)
+    # (nb, 1, n_sc): Mosaic requires the last two block dims be (8, 128)-
     # divisible or span the array, so the per-block SMEM row rides a
     # singleton middle axis
-    nb, nc = cl_list.shape
-    return cl_list.reshape(nb, 1, nc), cl_entry.reshape(nb, 1, nc), cl_count
+    nb, nsc = sc_list.shape
+    return sc_list.reshape(nb, 1, nsc), sc_entry.reshape(nb, 1, nsc), sc_count
 
 
 def _ray_vectors(ray_ref, sel_ref):
@@ -318,17 +370,20 @@ def _inv_dir(dx, dy, dz):
 def _kernel(
     count_ref,  # (n_blocks,) int32, scalar-prefetched to SMEM
     aabb_ref,  # (6, n_clusters) f32, scalar-prefetched to SMEM
+    sc_aabb_ref,  # (6, n_sc) f32, scalar-prefetched to SMEM
     ray_ref,  # (8, R): ox oy oz dx dy dz tmin tmax
     sel_ref,  # (5, R): watertight permute/shear selection data
-    list_ref,  # (1, 1, n_clusters) int32 SMEM row: this block's visit order
-    entry_ref,  # (1, 1, n_clusters) f32 SMEM row: sorted entry lower bounds
+    list_ref,  # (1, 1, n_sc) int32 SMEM row: this block's sc visit order
+    entry_ref,  # (1, 1, n_sc) f32 SMEM row: sorted sc entry lower bounds
     planes_ref,  # (13, n_clusters, CLUSTER)
     t_out,  # (1, R)
     idx_out,  # (1, R) int32
     u_out,
     v_out,
     *,
-    n_clusters,
+    n_sc,
+    sc_size,
+    csize,
 ):
     blk = pl.program_id(0)
     rv = _ray_vectors(ray_ref, sel_ref)
@@ -342,13 +397,8 @@ def _kernel(
 
     cnt = count_ref[blk]
 
-    def cond(carry):
-        k, stop = carry
-        return (k < cnt) & jnp.logical_not(stop)
-
-    def body(carry):
-        k, _ = carry
-        c = list_ref[0, 0, k]
+    def visit_cluster(c):
+        """Per-ray slab gate + 128-triangle watertight test of cluster c."""
         t_best = t_out[0, :][None, :]
         live = _cluster_slab(aabb_ref, c, rv, inv_x, inv_y, inv_z,
                              t_min, t_best)
@@ -364,7 +414,7 @@ def _kernel(
             t_sel = jnp.min(t_hit, axis=0, keepdims=True)  # (1, R)
             rows = jax.lax.broadcasted_iota(jnp.int32, t_hit.shape, 0)
             best = jnp.min(
-                jnp.where(t_hit == t_sel, rows, jnp.int32(CLUSTER + 1)),
+                jnp.where(t_hit == t_sel, rows, jnp.int32(csize + 1)),
                 axis=0,
                 keepdims=True,
             )
@@ -377,16 +427,41 @@ def _kernel(
             t_out[:] = jnp.where(better, t_sel, t_best)
             idx_out[:] = jnp.where(
                 better,
-                c * CLUSTER + best,
+                c * csize + best,
                 idx_out[0, :][None, :],
             )
             u_out[:] = jnp.where(better, e0s * inv_det, u_out[0, :][None, :])
             v_out[:] = jnp.where(better, e1s * inv_det, v_out[0, :][None, :])
 
-        # front-to-back early exit: clusters are visited in ascending
+    def cond(carry):
+        k, stop = carry
+        return (k < cnt) & jnp.logical_not(stop)
+
+    def body(carry):
+        k, _ = carry
+        sc = list_ref[0, 0, k]
+        if sc_size == 1:
+            visit_cluster(sc)
+        else:
+            # supercluster slab gate, then its Morton-ordered members (each
+            # gated by its own per-ray slab vs the shrinking t-best window)
+            t_best = t_out[0, :][None, :]
+            live_sc = _cluster_slab(sc_aabb_ref, sc, rv, inv_x, inv_y,
+                                    inv_z, t_min, t_best)
+
+            @pl.when(jnp.any(live_sc))
+            def _():
+                def inner(j, _):
+                    visit_cluster(sc * sc_size + j)
+                    return 0
+
+                jax.lax.fori_loop(0, sc_size, inner, 0)
+
+        # front-to-back early exit: superclusters are visited in ascending
         # entry-lower-bound order, so once the NEXT entry exceeds every
-        # ray's current t_best, no remaining cluster can improve any hit
-        nk = jnp.minimum(k + 1, n_clusters - 1)
+        # ray's current t_best, no remaining supercluster can improve any
+        # hit (exact at sc granularity; members are window-gated per ray)
+        nk = jnp.minimum(k + 1, n_sc - 1)
         stop = entry_ref[0, 0, nk] > jnp.max(t_out[0, :])
         return k + 1, stop
 
@@ -396,13 +471,15 @@ def _kernel(
 def _kernel_any(
     count_ref,  # (n_blocks,) int32, scalar-prefetched to SMEM
     aabb_ref,  # (6, n_clusters) f32, scalar-prefetched to SMEM
+    sc_aabb_ref,  # (6, n_sc) f32, scalar-prefetched to SMEM
     ray_ref,  # (8, R)
     sel_ref,  # (5, R)
-    list_ref,  # (1, 1, n_clusters) int32 SMEM row
+    list_ref,  # (1, 1, n_sc) int32 SMEM row
     planes_ref,  # (13, n_clusters, CLUSTER)
     occ_out,  # (1, R) int32: 1 iff any hit with t in (tmin, tmax)
     *,
-    n_clusters,
+    n_sc,
+    sc_size,
 ):
     """Any-hit (occlusion) variant of _kernel.
 
@@ -425,13 +502,7 @@ def _kernel_any(
     occ_out[:] = (t_max <= 0.0).astype(jnp.int32)
     cnt = count_ref[blk]
 
-    def cond(carry):
-        k, stop = carry
-        return (k < cnt) & jnp.logical_not(stop)
-
-    def body(carry):
-        k, _ = carry
-        c = list_ref[0, 0, k]
+    def visit_cluster(c):
         undecided = occ_out[0, :][None, :] == 0
         live = _cluster_slab(aabb_ref, c, rv, inv_x, inv_y, inv_z,
                              t_min, t_max) & undecided
@@ -445,7 +516,29 @@ def _kernel_any(
                 jnp.max(hit.astype(jnp.int32), axis=0, keepdims=True),
             )
 
-        # early-out: the whole block decided => skip remaining clusters
+    def cond(carry):
+        k, stop = carry
+        return (k < cnt) & jnp.logical_not(stop)
+
+    def body(carry):
+        k, _ = carry
+        sc = list_ref[0, 0, k]
+        if sc_size == 1:
+            visit_cluster(sc)
+        else:
+            undecided = occ_out[0, :][None, :] == 0
+            live_sc = _cluster_slab(sc_aabb_ref, sc, rv, inv_x, inv_y,
+                                    inv_z, t_min, t_max) & undecided
+
+            @pl.when(jnp.any(live_sc))
+            def _():
+                def inner(j, _):
+                    visit_cluster(sc * sc_size + j)
+                    return 0
+
+                jax.lax.fori_loop(0, sc_size, inner, 0)
+
+        # early-out: the whole block decided => skip remaining superclusters
         return k + 1, jnp.min(occ_out[0, :]) > 0
 
     jax.lax.while_loop(cond, body, (jnp.int32(0), False))
@@ -481,89 +574,103 @@ def _ray_rows(o, d, t_min, t_max):
 
 
 def intersect_clusters_any(o, d, t_min, t_max, accel: ClusterAccel,
-                           block=512, interpret=None):
+                           block=None, interpret=None):
     """Boolean occlusion query: any hit with t in (t_min, t_max)?
 
     Same predicate as intersect_clusters(...).tri >= 0, but ~2x cheaper per
     cluster and with whole-block early-out — the shadow-ray fast path.
     """
+    if block is None:
+        block = BLOCK
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     o, d, t_min, t_max, n, pad = _pad_rays(o, d, t_min, t_max, block)
     rays, sel = _ray_rows(o, d, t_min, t_max)
-    cl_list, _, cl_count = build_block_lists(o, d, t_max, accel, block)
+    sc_list, _, sc_count = build_block_lists(o, d, t_max, accel, block)
 
-    nc = accel.n_clusters
+    nsc = accel.n_sc
     grid = ((n + pad) // block,)
-    row_blk = lambda h: pl.BlockSpec((h, block), lambda i, c, a: (0, i),
+    row_blk = lambda h: pl.BlockSpec((h, block), lambda i, c, a, s: (0, i),
                                      memory_space=pltpu.VMEM)
-    out_blk = pl.BlockSpec((1, block), lambda i, c, a: (0, i),
+    out_blk = pl.BlockSpec((1, block), lambda i, c, a, s: (0, i),
                            memory_space=pltpu.VMEM)
-    smem_row = pl.BlockSpec((1, 1, nc), lambda i, c, a: (i, 0, 0),
+    smem_row = pl.BlockSpec((1, 1, nsc), lambda i, c, a, s: (i, 0, 0),
                             memory_space=pltpu.SMEM)
 
     occ = pl.pallas_call(
-        functools.partial(_kernel_any, n_clusters=nc),
+        functools.partial(_kernel_any, n_sc=nsc, sc_size=accel.sc_size),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,  # counts + AABB planes -> SMEM
+            num_scalar_prefetch=3,  # counts + cluster/sc AABB planes -> SMEM
             grid=grid,
             in_specs=[
                 row_blk(8),
                 row_blk(5),
                 smem_row,
-                pl.BlockSpec(accel.planes.shape, lambda i, c, a: (0, 0, 0),
+                pl.BlockSpec(accel.planes.shape,
+                             lambda i, c, a, s: (0, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[out_blk],
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),  # pipeline ray blocks
+            # the full planes array rides VMEM (constant index map, double
+            # buffered); small-cluster builds exceed the 16M default scope
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         out_shape=[jax.ShapeDtypeStruct((1, n + pad), jnp.int32)],
         interpret=interpret,
-    )(cl_count, accel.aabb, rays, sel, cl_list, accel.planes)[0]
+    )(sc_count, accel.aabb, accel.sc_aabb, rays, sel, sc_list,
+      accel.planes)[0]
     return occ[0, :n] != 0
 
 
 def intersect_clusters(o, d, t_min, t_max, accel: ClusterAccel,
-                       block=512, interpret=None):
+                       block=None, interpret=None):
     """Nearest-hit over the clustered scene.  Returns a Hit (original ids).
 
     interpret=None auto-selects: Mosaic on TPU backends, interpreter
     elsewhere (the CPU test mesh), so the same call site works everywhere.
     """
+    if block is None:
+        block = BLOCK
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     o, d, t_min, t_max, n, pad = _pad_rays(o, d, t_min, t_max, block)
     rays, sel = _ray_rows(o, d, t_min, t_max)
-    cl_list, cl_entry, cl_count = build_block_lists(o, d, t_max, accel, block)
+    sc_list, sc_entry, sc_count = build_block_lists(o, d, t_max, accel, block)
 
-    nc = accel.n_clusters
+    nsc = accel.n_sc
     grid = ((n + pad) // block,)
-    row_blk = lambda h: pl.BlockSpec((h, block), lambda i, c, a: (0, i),
+    row_blk = lambda h: pl.BlockSpec((h, block), lambda i, c, a, s: (0, i),
                                      memory_space=pltpu.VMEM)
-    out_blk = pl.BlockSpec((1, block), lambda i, c, a: (0, i),
+    out_blk = pl.BlockSpec((1, block), lambda i, c, a, s: (0, i),
                            memory_space=pltpu.VMEM)
-    smem_row = pl.BlockSpec((1, 1, nc), lambda i, c, a: (i, 0, 0),
+    smem_row = pl.BlockSpec((1, 1, nsc), lambda i, c, a, s: (i, 0, 0),
                             memory_space=pltpu.SMEM)
 
     t, idx, u, v = pl.pallas_call(
-        functools.partial(_kernel, n_clusters=nc),
+        functools.partial(_kernel, n_sc=nsc, sc_size=accel.sc_size,
+                          csize=accel.csize),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,  # counts + AABB planes -> SMEM
+            num_scalar_prefetch=3,  # counts + cluster/sc AABB planes -> SMEM
             grid=grid,
             in_specs=[
                 row_blk(8),
                 row_blk(5),
                 smem_row,
                 smem_row,
-                pl.BlockSpec(accel.planes.shape, lambda i, c, a: (0, 0, 0),
+                pl.BlockSpec(accel.planes.shape,
+                             lambda i, c, a, s: (0, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[out_blk, out_blk, out_blk, out_blk],
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),  # pipeline ray blocks
+            # the full planes array rides VMEM (constant index map, double
+            # buffered); small-cluster builds exceed the 16M default scope
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         out_shape=[
             jax.ShapeDtypeStruct((1, n + pad), jnp.float32),
@@ -572,7 +679,8 @@ def intersect_clusters(o, d, t_min, t_max, accel: ClusterAccel,
             jax.ShapeDtypeStruct((1, n + pad), jnp.float32),
         ],
         interpret=interpret,
-    )(cl_count, accel.aabb, rays, sel, cl_list, cl_entry, accel.planes)
+    )(sc_count, accel.aabb, accel.sc_aabb, rays, sel, sc_list, sc_entry,
+      accel.planes)
     t = t[0, :n]
     idx = idx[0, :n]
     tri = jnp.where(idx >= 0, accel.order[jnp.maximum(idx, 0)], -1)

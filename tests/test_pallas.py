@@ -117,6 +117,51 @@ def test_anyhit_matches_closest_hit_validity(n_tris):
     )
 
 
+@pytest.mark.parametrize("super_target", [1, 2])
+def test_two_level_matches_brute(super_target):
+    """Supercluster walk (sc_size > 1) agrees with the brute oracle.
+
+    super_target=2 on a 6-cluster mesh gives sc_size=3 (two superclusters
+    of three member clusters) — the exact two-level kernel path cameraLens-
+    scale scenes take with the default SUPER_TARGET."""
+    rng = np.random.default_rng(42 + super_target)
+    tri_v = _random_tris(700, rng)
+    acc = build_clusters(tri_v, super_target=super_target)
+    assert acc.sc_size > 1 and acc.n_sc == super_target
+    n = 512
+    o, d = _random_rays(n, rng)
+    t_min = np.full(n, 1e-4, np.float32)
+    t_max = np.full(n, np.inf, np.float32)
+    hp = intersect_clusters(
+        jnp.asarray(o), jnp.asarray(d), jnp.asarray(t_min),
+        jnp.asarray(t_max), acc, block=128, interpret=True,
+    )
+    hb = intersect_brute(
+        jnp.asarray(o), jnp.asarray(d), jnp.asarray(t_min),
+        jnp.asarray(t_max), jnp.asarray(tri_v),
+    )
+    np.testing.assert_array_equal(np.asarray(hp.tri), np.asarray(hb.tri))
+    hit = np.asarray(hb.tri) >= 0
+    np.testing.assert_allclose(
+        np.asarray(hp.t)[hit], np.asarray(hb.t)[hit], rtol=1e-4, atol=1e-5
+    )
+
+    from nart_tpu.pallas_accel import intersect_clusters_any
+
+    t_shadow = np.where(
+        rng.random(n) < 0.25, 0.0, rng.exponential(5.0, n)
+    ).astype(np.float32)
+    occ = intersect_clusters_any(
+        jnp.asarray(o), jnp.asarray(d), jnp.asarray(t_min),
+        jnp.asarray(t_shadow), acc, block=128, interpret=True,
+    )
+    hp2 = intersect_clusters(
+        jnp.asarray(o), jnp.asarray(d), jnp.asarray(t_min),
+        jnp.asarray(t_shadow), acc, block=128, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(occ), np.asarray(hp2.tri) >= 0)
+
+
 def test_block_mask_is_conservative():
     """Every actual hit's cluster must be visible in its ray's block mask."""
     rng = np.random.default_rng(3)
@@ -142,5 +187,5 @@ def test_block_mask_is_conservative():
     pos_of_tri[order[order >= 0]] = np.nonzero(order >= 0)[0]
     tri = np.asarray(hb.tri)
     for i in np.nonzero(tri >= 0)[0]:
-        cl = pos_of_tri[tri[i]] // CLUSTER
+        cl = pos_of_tri[tri[i]] // acc.csize
         assert mask[i // block, cl], (i, tri[i], cl)
