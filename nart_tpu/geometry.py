@@ -211,6 +211,41 @@ class Surface(NamedTuple):
     mesh: jnp.ndarray  # (N,) int32
 
 
+def pack_surface_rows(tri_v, tri_n, tri_uv, tri_mesh):
+    """Pack per-triangle surface attributes into one (T, 32) f32 row.
+
+    Four separate per-hit gathers (tri_v (N,3,3), tri_n, tri_uv, tri_mesh)
+    measured ~7 ms per bounce round at 32k lanes on TPU — XLA splits them
+    into many narrow (N,3) T(4,128) gathers that run far below memory
+    speed.  One 32-float contiguous row per triangle turns the fetch into
+    a single lane-efficient gather.  Layout: v0 v1 v2 (9) | n0 n1 n2 (9) |
+    uv0 uv1 uv2 (6) | mesh-as-f32 (1) | pad (7).
+    """
+    t = tri_v.shape[0]
+    row = jnp.concatenate(
+        [
+            jnp.reshape(tri_v, (t, 9)),
+            jnp.reshape(tri_n, (t, 9)),
+            jnp.reshape(tri_uv, (t, 6)),
+            tri_mesh.astype(jnp.float32)[:, None],  # exact to 2^24
+            jnp.zeros((t, 7), jnp.float32),
+        ],
+        axis=-1,
+    )
+    return row
+
+
+def surface_at_packed(hit: Hit, surf_rows) -> Surface:
+    """surface_at on the packed (T, 32) rows: ONE gather per wavefront."""
+    idx = jnp.maximum(hit.tri, 0)
+    r = surf_rows[idx]  # (N, 32)
+    v = jnp.reshape(r[:, 0:9], (-1, 3, 3))
+    nrm = jnp.reshape(r[:, 9:18], (-1, 3, 3))
+    uv = jnp.reshape(r[:, 18:24], (-1, 3, 2))
+    mesh = r[:, 24].astype(jnp.int32)
+    return _surface_from_gathered(hit, v, nrm, uv, mesh)
+
+
 def surface_at(hit: Hit, tri_v, tri_n, tri_uv, tri_mesh) -> Surface:
     """Gather and interpolate surface attributes for the best hits.
 
@@ -221,6 +256,10 @@ def surface_at(hit: Hit, tri_v, tri_n, tri_uv, tri_mesh) -> Surface:
     v = tri_v[idx]  # (N, 3, 3)
     nrm = tri_n[idx]
     uv = tri_uv[idx]
+    return _surface_from_gathered(hit, v, nrm, uv, tri_mesh[idx])
+
+
+def _surface_from_gathered(hit: Hit, v, nrm, uv, mesh) -> Surface:
     u, w_v = hit.u[:, None], hit.v[:, None]
     w2 = 1.0 - u - w_v
     p = v[:, 0] * u + v[:, 1] * w_v + v[:, 2] * w2
@@ -245,5 +284,5 @@ def surface_at(hit: Hit, tri_v, tri_n, tri_uv, tri_mesh) -> Surface:
         + (v[:, 1] - v[:, 2]) * (uv0[:, 0] - uv2[:, 0])[:, None]
     ) * inv_uv_det[:, None]
     return Surface(
-        p=p, gn=gn, sn=sn, st=st, dpds=dpds, dpdt=dpdt, mesh=tri_mesh[idx]
+        p=p, gn=gn, sn=sn, st=st, dpds=dpds, dpdt=dpdt, mesh=mesh
     )

@@ -30,7 +30,7 @@ from jax.ad_checkpoint import checkpoint_name
 
 from .. import bxdf, rng
 from ..accel import BVH, intersect_bvh
-from ..geometry import intersect_brute, surface_at
+from ..geometry import intersect_brute, pack_surface_rows, surface_at_packed
 from ..lights import light_eval, light_sample
 from ..materials import make_bsdf
 
@@ -224,6 +224,8 @@ def _make_bounce(scene, bvh, params, n, differentiable=False):
     tri_uv = jnp.asarray(scene.tri_uv)
     tri_mesh = jnp.asarray(scene.tri_mesh)
     mesh_priority = jnp.asarray(scene.mesh_priority)
+    # single-gather surface fetch (loop-invariant pack, see geometry.py)
+    surf_rows = pack_surface_rows(tri_v, tri_n, tri_uv, tri_mesh)
 
     from ..accel import resolve_accel_kind
 
@@ -303,7 +305,7 @@ def _make_bounce(scene, bvh, params, n, differentiable=False):
                 lambda x: checkpoint_name(x, "isect"), hit
             )
         hit_valid = hit.valid & p.alive
-        surf = surface_at(hit, tri_v, tri_n, tri_uv, tri_mesh)
+        surf = surface_at_packed(hit, surf_rows)
 
         # miss handling (pathintegrator.cpp:252-257):
         #   bounce 0 + lightHit: L = Le; any miss: lane dead
@@ -810,6 +812,7 @@ def trace_balanced(
     n_lanes=0,
     pix_offset=0,
     n_pix_total=None,
+    row_map=None,
 ):
     """Work-queue wavefront: lanes pull (pixel, sample) items on death.
 
@@ -844,7 +847,7 @@ def trace_balanced(
     total = spp_chunk * n_pix
     core0, step = _balanced_machine(
         scene, bvh, samples, params, render_w, render_h, chunk_base, n_lanes,
-        pix_offset=pix_offset, n_pix_total=n_pix_total,
+        pix_offset=pix_offset, n_pix_total=n_pix_total, row_map=row_map,
     )
 
     carry0 = (
@@ -887,6 +890,7 @@ def trace_balanced_loss(
     n_lanes=0,
     pix_offset=0,
     n_pix_total=None,
+    row_map=None,
 ):
     """Differentiable balanced wavefront: scalar loss = sum(cot * la).
 
@@ -926,6 +930,7 @@ def trace_balanced_loss(
         differentiable=True,
         pix_offset=pix_offset,
         n_pix_total=n_pix_total,
+        row_map=row_map,
     )
     cot_flat = jnp.reshape(cot, (total, 4))
 
@@ -995,13 +1000,17 @@ def _balanced_machine(
     differentiable=False,
     pix_offset=0,
     n_pix_total=None,
+    row_map=None,
 ):
     """Shared work-queue machinery for the balanced wavefront.
 
     pix_offset/n_pix_total support sharding: local items cover n_pix
     pixels starting at global pixel id pix_offset of a n_pix_total grid;
     RNG stream seeds use GLOBAL (pixel, sample) ids so the result is
-    invariant to the device count / slab decomposition.
+    invariant to the device count / slab decomposition.  row_map
+    ((local_rows,) int32, optional) generalises the contiguous slab to an
+    arbitrary row assignment (striped sharding): local row r is global
+    image row row_map[r], and pix_offset is ignored.
 
     Returns (core0, step): step(core) -> (core', dying, la, item_before)
     where `la` is the RGBA radiance of lanes whose item finished this
@@ -1034,10 +1043,16 @@ def _balanced_machine(
         """Item -> (o, d, state) for its (pixel, sample)."""
         it = jnp.clip(item, 0, total - 1)
         jit = samples_flat[it]
-        pix = it % n_pix + jnp.int32(pix_offset)  # global pixel id
         s = it // n_pix
-        px = pix % render_w
-        py = pix // render_w
+        lp = it % n_pix  # local pixel index
+        if row_map is None:
+            pix = lp + jnp.int32(pix_offset)  # global pixel id
+            px = pix % render_w
+            py = pix // render_w
+        else:
+            px = lp % render_w
+            py = row_map[lp // render_w]
+            pix = py * render_w + px
         o, d = camera_mod.cast_rays(
             scene.cam_to_world,
             scene.fov,
@@ -1062,10 +1077,14 @@ def _balanced_machine(
         jnp.zeros((n,), jnp.int32),  # per-lane bounce
         item0,  # per-lane work item
         jnp.int32(min(n, total)),  # queue head
+        jnp.int32(0),  # round counter (lane-sort cadence)
     )
+    import os as _os
+
+    sort_every = int(_os.environ.get("NART_SORT_EVERY", "1"))
 
     def step(core):
-        paths, bounce, item, head = core
+        paths, bounce, item, head, round_no = core
         was_alive = paths.alive
         p = bounce_body(bounce, paths)
 
@@ -1115,17 +1134,31 @@ def _balanced_machine(
             # cull clusters; dead lanes pack into whole-dead blocks.  Lanes
             # are anonymous work slots (the item id travels with the lane),
             # so the permutation needs no inverse anywhere.
-            key = _sort_key(
-                scene_lo_j, scene_inv_extent_j, paths.o, paths.d, paths.alive
-            )
-            perm = jnp.argsort(key)
-            paths = jax.tree_util.tree_map(
-                lambda x: x if x.ndim == 0 else x[perm], paths
-            )
-            bounce = bounce[perm]
-            item = item[perm]
+            def do_sort(args):
+                paths, bounce, item = args
+                key = _sort_key(
+                    scene_lo_j, scene_inv_extent_j, paths.o, paths.d,
+                    paths.alive,
+                )
+                perm = jnp.argsort(key)
+                paths = jax.tree_util.tree_map(
+                    lambda x: x if x.ndim == 0 else x[perm], paths
+                )
+                return paths, bounce[perm], item[perm]
 
-        return (paths, bounce, item, head), dying, la, item_before
+            if sort_every > 1:
+                # cadence: skip the argsort+permute on off-rounds entirely
+                # (lanes drift slowly between sorts)
+                paths, bounce, item = jax.lax.cond(
+                    round_no % sort_every == 0,
+                    do_sort,
+                    lambda args: args,
+                    (paths, bounce, item),
+                )
+            else:
+                paths, bounce, item = do_sort((paths, bounce, item))
+
+        return (paths, bounce, item, head, round_no + 1), dying, la, item_before
 
     tv = jnp.reshape(jnp.asarray(scene.tri_v), (-1, 3))
     scene_lo_j = jnp.min(tv, axis=0)

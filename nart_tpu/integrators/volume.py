@@ -249,7 +249,7 @@ def _no_medium_la(scene, samples, params, render_w, pix_offset):
 
 def _balanced_vol_machine(
     scene, medium, samples, params, render_w, render_h, chunk_base, n_lanes,
-    pix_offset, n_pix_total,
+    pix_offset, n_pix_total, row_map=None,
 ):
     """Shared work-queue machinery (volume analog of path._balanced_machine).
 
@@ -277,10 +277,16 @@ def _balanced_vol_machine(
     def spawn(item):
         it = jnp.clip(item, 0, total - 1)
         jit = samples_flat[it]
-        pix = it % n_pix + jnp.int32(pix_offset)
         s = it // n_pix
-        px = pix % render_w
-        py = pix // render_w
+        lp = it % n_pix
+        if row_map is None:
+            pix = lp + jnp.int32(pix_offset)
+            px = pix % render_w
+            py = pix // render_w
+        else:
+            px = lp % render_w
+            py = row_map[lp // render_w]
+            pix = py * render_w + px
         o, d = camera_mod.cast_rays(
             scene.cam_to_world, scene.fov, params.image_width,
             params.image_height, px, py, jit,
@@ -346,6 +352,7 @@ def trace_balanced(
     n_lanes=0,
     pix_offset=0,
     n_pix_total=None,
+    row_map=None,
 ):
     """Work-queue volume wavefront (same contract as path.trace_balanced).
 
@@ -363,7 +370,7 @@ def trace_balanced(
 
     core0, step_round, n, total = _balanced_vol_machine(
         scene, medium, samples, params, render_w, render_h, chunk_base,
-        n_lanes, pix_offset, n_pix_total,
+        n_lanes, pix_offset, n_pix_total, row_map=row_map,
     )
     lane_idx = jnp.arange(n, dtype=jnp.int32)
 
@@ -409,6 +416,7 @@ def trace_balanced_loss(
     n_lanes=0,
     pix_offset=0,
     n_pix_total=None,
+    row_map=None,
 ):
     """Differentiable balanced volume wavefront: loss = sum(cot * la).
 
@@ -436,7 +444,7 @@ def trace_balanced_loss(
 
     core0, step_round, n, total = _balanced_vol_machine(
         scene, medium, samples, params, render_w, render_h, chunk_base,
-        n_lanes, pix_offset, n_pix_total,
+        n_lanes, pix_offset, n_pix_total, row_map=row_map,
     )
     cot_flat = jnp.reshape(cot, (total, 4))
 

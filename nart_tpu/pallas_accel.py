@@ -54,7 +54,7 @@ CLUSTER = 128
 # 512 measured best on the reference scenes.  Env-overridable for tuning.
 import os as _os
 
-BLOCK = int(_os.environ.get("NART_PALLAS_BLOCK", "512"))
+BLOCK = 512
 
 
 # target size of the SUPERCLUSTER visit list: the per-block XLA prefilter
@@ -65,7 +65,8 @@ SUPER_TARGET = 64
 
 
 @pytree_dataclass(
-    meta_fields=("n_clusters", "n_tris", "n_sc", "sc_size", "csize")
+    meta_fields=("n_clusters", "n_tris", "n_sc", "sc_size", "csize",
+                 "block")
 )
 @dataclass
 class ClusterAccel:
@@ -89,13 +90,24 @@ class ClusterAccel:
     n_sc: int
     sc_size: int
     csize: int
+    block: int  # default rays-per-kernel-block for this accel
 
 
 def build_clusters(tri_v: np.ndarray, super_target=SUPER_TARGET,
-                   csize=None) -> ClusterAccel:
+                   csize=None, block=None) -> ClusterAccel:
     tri_v = np.asarray(tri_v, np.float32)
+    # size policy (measured on TPU v5e): small scenes run fastest with
+    # 128-tri clusters and 512-ray blocks (glassSphere 4.0 Mrays/s vs 3.5
+    # at 64/256); large meshes flip (cameraLens 94k tris: 1.00 Mrays/s at
+    # 64/256 vs 0.92 at 128/512 — tighter AABBs cull more wasted triangle
+    # tests, finer blocks see tighter interval bounds)
+    large = len(tri_v) >= 32768
     if csize is None:
-        csize = int(_os.environ.get("NART_CLUSTER_SIZE", "0")) or CLUSTER
+        csize = (int(_os.environ.get("NART_CLUSTER_SIZE", "0"))
+                 or (64 if large else CLUSTER))
+    if block is None:
+        block = (int(_os.environ.get("NART_PALLAS_BLOCK", "0"))
+                 or (256 if large else BLOCK))
     t = len(tri_v)
     lo = tri_v.min(axis=1)
     hi = tri_v.max(axis=1)
@@ -152,6 +164,7 @@ def build_clusters(tri_v: np.ndarray, super_target=SUPER_TARGET,
         n_sc=n_sc,
         sc_size=sc_size,
         csize=csize,
+        block=block,
     )
 
 
@@ -581,7 +594,7 @@ def intersect_clusters_any(o, d, t_min, t_max, accel: ClusterAccel,
     cluster and with whole-block early-out — the shadow-ray fast path.
     """
     if block is None:
-        block = BLOCK
+        block = accel.block
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     o, d, t_min, t_max, n, pad = _pad_rays(o, d, t_min, t_max, block)
@@ -633,7 +646,7 @@ def intersect_clusters(o, d, t_min, t_max, accel: ClusterAccel,
     elsewhere (the CPU test mesh), so the same call site works everywhere.
     """
     if block is None:
-        block = BLOCK
+        block = accel.block
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     o, d, t_min, t_max, n, pad = _pad_rays(o, d, t_min, t_max, block)

@@ -140,15 +140,22 @@ def _render_sharded_balanced(
     total_h,
     filter_bounds,
 ):
-    """Row-slab x spp-slab sharding of the balanced work-queue wavefront.
+    """Striped-row x spp-slab sharding of the balanced work-queue wavefront.
 
-    A 1-D mesh ("tiles") shards pixel rows only; a 2-D mesh
-    ("tiles", "spp" — make_mesh2) additionally shards the spp axis: each
-    device traces its (row slab, sample slab) block of the global
-    (pixel, sample) item set.  RNG streams are keyed by GLOBAL
-    (pixel, sample) ids (chunk_base carries the spp offset), so every
-    sample decision is identical for any mesh shape; films psum-merge
-    over both axes.
+    A 1-D mesh ("tiles") shards pixel rows; a 2-D mesh ("tiles", "spp" —
+    make_mesh2) additionally shards the spp axis: each device traces its
+    (row set, sample slab) block of the global (pixel, sample) item set.
+    Rows are assigned ROUND-ROBIN in strips of 8 (device d owns strips d,
+    d + n_dev, ...), not as one contiguous slab: path length is spatially
+    systematic (a subject-free top slab finishes in half the rounds of the
+    slab holding the glass), and per-device wall time is proportional to
+    its round count, so contiguous slabs measured only 83% round-count
+    balance at 8 devices where striping measures ~97%
+    (tools/scaling_evidence.py).  Strips stay 8 rows tall for traversal
+    coherence (>= the filter support, so same-device strip splats never
+    overlap).  RNG streams are keyed by GLOBAL (pixel, sample) ids
+    (chunk_base carries the spp offset), so every sample decision is
+    identical for any mesh shape; films psum-merge over both axes.
     """
     from . import film as film_mod
     from . import rng, sampling
@@ -157,12 +164,17 @@ def _render_sharded_balanced(
     axes = mesh.axis_names
     n_row_dev = mesh.shape[axes[0]]
     n_spp_dev = mesh.shape[axes[1]] if len(axes) > 1 else 1
-    rows = -(-render_h // n_row_dev)  # rows per device (last slab may pad)
+    fb = filter_bounds
+    k = 2 * fb + 1
+    # strip height: >= 8 for ray coherence, >= k+1 so strips of the SAME
+    # device (separated by (n_row_dev-1)*strip_rows more rows) never
+    # overlap in the splat's dynamic_update_slice
+    strip_rows = render_h if n_row_dev == 1 else max(8, k + 1)
+    strips_per_dev = -(-(-(-render_h // strip_rows)) // n_row_dev)
+    rows = strips_per_dev * strip_rows  # local rows per device
     rows_total = rows * n_row_dev
     p_local = rows * render_w
     n_pix_total = render_w * render_h
-    fb = filter_bounds
-    k = 2 * fb + 1
     spp = params.spp
     spp_local = -(-spp // n_spp_dev)  # samples per device (may pad)
 
@@ -175,17 +187,23 @@ def _render_sharded_balanced(
         out_specs=P(),
         check_vma=False,
     )
-    def shard_render(scene, bvh, row0s, *spp0s_opt):
-        # the slab offsets arrive as SHARDED inputs rather than
-        # axis_index * size: with check_vma=False, a psum whose operand
-        # derives from no sharded input is silently miscompiled (treated
-        # as replicated); a sharded operand lineage keeps it a real
+    def shard_render(scene, bvh, dev_ids, *spp0s_opt):
+        # the device/slab ids arrive as SHARDED inputs rather than
+        # axis_index: with check_vma=False, a psum whose operand derives
+        # from no sharded input is silently miscompiled (treated as
+        # replicated); a sharded operand lineage keeps it a real
         # all-reduce
-        row0 = row0s[0]
+        dev = dev_ids[0]
         spp0 = spp0s_opt[0][0] if spp0s_opt else jnp.int32(0)
+        local_row = jnp.arange(rows, dtype=jnp.int32)
+        # round-robin strips: local strip i -> global strip i*n_dev + dev
+        row_map = (
+            (local_row // strip_rows * n_row_dev + dev) * strip_rows
+            + local_row % strip_rows
+        )
         local = jnp.arange(p_local, dtype=jnp.int32)
         px = local % render_w
-        py = row0 + local // render_w
+        py = row_map[local // render_w]
         real = py < render_h  # padded rows trace but never splat
         # per-pixel Latin-square jitters from the reference's pixel
         # streams: the FULL spp draw per pixel (the square depends on
@@ -218,8 +236,8 @@ def _render_sharded_balanced(
             rows,
             chunk_base=spp0,
             n_lanes=params.lanes,
-            pix_offset=row0 * render_w,
             n_pix_total=n_pix_total,
+            row_map=row_map,
         )
 
         table = jnp.asarray(film_mod.filter_table())
@@ -231,26 +249,31 @@ def _render_sharded_balanced(
         # padded spp rows (dynamic_slice clamp when spp % n_spp_dev != 0)
         # trace but never splat
         s_real = spp0 + jnp.arange(spp_local, dtype=jnp.int32) < spp
-        # one shared fused tap-weight + overlap-add path with the
-        # single-chip splat (film.splat_windows); the spp axis folds into
-        # a single tap loop
-        acc = film_mod.splat_windows(
-            samples, la, params.filter_width, table,
-            render_w, rows, fb,
-            real_mask=real[None, :] & s_real[:, None],
-        )
+        real_mask = real[None, :] & s_real[:, None]
         film_pad = jnp.zeros((rows_total + k, total_w + k, 5), jnp.float32)
-        film_pad = jax.lax.dynamic_update_slice(
-            film_pad, acc[:, : total_w + k], (row0, 0, 0)
-        )
+        # per-strip splat + placement: local rows within one strip are
+        # globally adjacent, but STRIP boundaries are not — each strip
+        # splats its own (strip_rows + k) window placed at its global row
+        p_strip = strip_rows * render_w
+        for i in range(strips_per_dev):
+            sl = slice(i * p_strip, (i + 1) * p_strip)
+            acc = film_mod.splat_windows(
+                samples[:, sl], la[:, sl], params.filter_width, table,
+                render_w, strip_rows, fb,
+                real_mask=real_mask[:, sl],
+            )
+            row0 = (i * n_row_dev + dev) * strip_rows
+            film_pad = jax.lax.dynamic_update_slice(
+                film_pad, acc[:, : total_w + k], (row0, 0, 0)
+            )
         film_pad = jax.lax.psum(film_pad, axes)
         return film_pad[:total_h, :total_w]
 
-    row0s = np.arange(n_row_dev, dtype=np.int32) * rows
+    dev_ids = np.arange(n_row_dev, dtype=np.int32)
     args = [
         _put(mesh, jax.tree_util.tree_map(np.asarray, scene), P()),
         _put(mesh, bvh, P()),
-        _put(mesh, row0s, P(axes[0])),
+        _put(mesh, dev_ids, P(axes[0])),
     ]
     if len(axes) > 1:
         spp0s = np.arange(n_spp_dev, dtype=np.int32) * spp_local

@@ -47,6 +47,15 @@ def _kernel_stats(
         @pl.when(jnp.any(live))
         def _():
             tri_cnt[:] = tri_cnt[0, :][None, :] + 1
+            # live-ray census: lane 1 accumulates live count; lanes 2-5 the
+            # number of live 128-ray quarters
+            lane = jax.lax.broadcasted_iota(jnp.int32, live.shape, 1)
+            liv = live.astype(jnp.int32)
+            nlive = jnp.sum(liv)
+            q = jnp.zeros((), jnp.int32)
+            for qq in range(4):
+                q = q + (jnp.sum(jnp.where((lane >= qq*128) & (lane < (qq+1)*128), liv, 0)) > 0).astype(jnp.int32)
+            slab_cnt[:] = slab_cnt[0, :][None, :] + jnp.where(lane == 1, nlive, 0) + jnp.where(lane == 2, q, 0)
             hit, t, e0, e1, esum = _watertight(planes_ref[:, c, :], rv)
             t_best = t_out[0, :][None, :]
             hit = hit & (t > t_min) & (t < t_best)
@@ -123,8 +132,9 @@ def run(o, d, t_min, t_max, accel, block=512):
       accel.planes)
     t, scs, slabs, tris = outs
     nb = (n + pad) // block
-    return (scs[0].reshape(nb, block)[:, 0], slabs[0].reshape(nb, block)[:, 0],
-            tris[0].reshape(nb, block)[:, 0], sc_count)
+    sl = slabs[0].reshape(nb, block)
+    return (scs[0].reshape(nb, block)[:, 0], sl[:, 0],
+            tris[0].reshape(nb, block)[:, 0], sc_count, sl[:, 1], sl[:, 2])
 
 
 scene = load_scene("/root/reference/input/scenes/cameraLens.json",
@@ -144,10 +154,13 @@ d_inc = jax.random.normal(key, (n, 3))
 d_inc = d_inc / jnp.linalg.norm(d_inc, axis=-1, keepdims=True)
 
 for label, oo, dd in [("coherent", o, d), ("incoherent", o, d_inc)]:
-    scs, slabs, tris, sc_count = jax.block_until_ready(
+    scs, slabs, tris, sc_count, nlive, nquart = jax.block_until_ready(
         run(oo, dd, t_min, t_max, acc)
     )
+    tr = np.maximum(np.asarray(tris).astype(np.float64), 1)
     print(f"[{label}] visible_sc/blk mean={np.mean(np.asarray(sc_count)):.1f} "
           f"visited_sc mean={np.mean(np.asarray(scs)):.1f} "
-          f"slabs mean={np.mean(np.asarray(slabs)):.1f} "
-          f"tri_tests mean={np.mean(np.asarray(tris)):.1f}", flush=True)
+          f"slabs mean={np.mean(np.asarray(slabs) - np.asarray(nlive) - np.asarray(nquart)):.1f} "
+          f"tri_tests mean={np.mean(np.asarray(tris)):.1f} "
+          f"live/test={np.mean(np.asarray(nlive)/tr):.1f}/512 "
+          f"quarters/test={np.mean(np.asarray(nquart)/tr):.2f}/4", flush=True)

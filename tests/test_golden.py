@@ -239,6 +239,68 @@ def test_glasssphere_golden():
     )
 
 
+def _render_golden_scene(json_name, w, h, spp):
+    from nart_tpu import render as render_mod
+    from nart_tpu.scene import load_scene
+
+    scene_path = os.path.join(GOLDEN, json_name)
+    scene = load_scene(scene_path, asset_root="/root/reference")
+    params = next(iter(render_mod.load_sessions(
+        scene_path, dict(image_width=w, image_height=h, spp=spp)
+    )))
+    sess = render_mod.RenderSession(scene, params)
+    return sess.image()
+
+
+def test_cameralens_golden():
+    """cameraLens: 94k-triangle lens assembly, metal/plastic roughness +
+    rho maps, env-map importance sampling — the largest-mesh reference
+    scene.  Stripped textures are substituted by surviving ones in
+    cameraLens_sub.json (tools/gen_heavy_goldens.py); the golden was
+    rendered by the reference binary from the identical substitute scene."""
+    ours = _render_golden_scene("cameraLens_sub.json", 128, 128, 16)
+    _compare(
+        ours,
+        os.path.join(GOLDEN, "cameraLens_sub_128x128_16spp.exr"),
+        mean_tol=0.05,
+        block_tol=0.25,
+        block_frac=0.85,
+    )
+
+
+@pytest.mark.skipif(
+    not os.environ.get("NART_SLOW_TESTS"), reason="slow: NART_SLOW_TESTS=1"
+)
+def test_glassicewater_golden():
+    """glassIceWater: glass/ice/water/bubbles nested-dielectric priority
+    stack (priorities 1-4), roughness + normal maps, 32 bounces — the
+    deepest dielectric nesting in the reference.  Table textures are
+    substituted (tools/gen_heavy_goldens.py)."""
+    ours = _render_golden_scene("glassIceWater_sub.json", 128, 128, 16)
+    _compare(
+        ours,
+        os.path.join(GOLDEN, "glassIceWater_sub_128x128_16spp.exr"),
+        mean_tol=0.06,
+        block_tol=0.35,
+        block_frac=0.75,
+    )
+
+
+def test_dragonbunnyglass_golden():
+    """dragonBunnyGlass class: rough glass sphere + glossy + plastic
+    meshes under 3 area lights.  The stripped dragon/bunny meshes are
+    substituted by ring.geo/monkey.geo re-posed in the same frame
+    (tools/gen_heavy_goldens.py)."""
+    ours = _render_golden_scene("dragonBunnyGlass_sub.json", 128, 128, 16)
+    _compare(
+        ours,
+        os.path.join(GOLDEN, "dragonBunnyGlass_sub_128x128_16spp.exr"),
+        mean_tol=0.05,
+        block_tol=0.25,
+        block_frac=0.85,
+    )
+
+
 def test_cornell_golden():
     """Diffuse Cornell-style box (BASELINE config 2: lambert + disk light +
     MIS).  Scene JSON lives in tests/golden/cornell.json (built on the

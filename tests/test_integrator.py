@@ -1,5 +1,7 @@
 """Wavefront integrator vs scalar oracle + physical sanity checks."""
 
+import os
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -7,18 +9,28 @@ from nart_tpu import render as render_mod
 from tests import oracle, scenes
 
 
-def _compare(scene, params, rtol=2e-3, atol=2e-3, state_frac=0.95):
-    """Check BOTH reference-stream wavefront modes against the oracle.
+def _compare(scene, params, rtol=2e-3, atol=2e-3, state_frac=0.95,
+             modes=None):
+    """Check reference-stream wavefront modes against the oracle.
 
     The oracle transcribes the reference's per-pixel sequential RNG
     stream; "spp" and "regen" preserve that layout bit-exactly (the
     "balanced" default uses per-(pixel,sample) streams and is validated
-    statistically in test_balanced_matches_regen)."""
+    statistically in test_balanced_matches_regen).  Default suite runs
+    "regen" only (each mode is a separate full wavefront compile and the
+    suite is compile-bound; "spp" shares the identical bounce body and is
+    pinned by test_lambert_matches_oracle's both-mode run); set
+    NART_SLOW_TESTS=1 to run both modes everywhere."""
     import dataclasses
 
+    if modes is None:
+        modes = (
+            ("spp", "regen") if os.environ.get("NART_SLOW_TESTS")
+            else ("regen",)
+        )
     want, states = oracle.render_oracle(scene, params)
     w = np.where(want[..., 4:5] > 0, want, 0)
-    for mode in ("spp", "regen"):
+    for mode in modes:
         p = dataclasses.replace(params, wavefront=mode)
         got = render_mod.RenderSession(scene, p).render()
         g = np.where(got[..., 4:5] > 0, got, 0)
@@ -31,7 +43,7 @@ def test_lambert_matches_oracle():
         image_width=6, image_height=6, bucket_size=16, spp=2, bounces=3,
         filter_width=1.0, roughening_factor=0.0,
     )
-    _compare(scene, params)
+    _compare(scene, params, modes=("spp", "regen"))
 
 
 def test_plastic_rr_matches_oracle():

@@ -67,6 +67,8 @@ def run_config(name):
     if name == "4_caustic_sweep":
         sweep = [0.0, 0.2, 0.5]  # rougheningFactor sweep (reference -r)
         extra = {}
+        if os.environ.get("NART_BENCH_SWEEP_ONLY_R02"):
+            sweep = [0.2]
 
     rows = []
     for r in sweep:
@@ -89,6 +91,19 @@ def run_config(name):
             "rays": int(rays),
             "validated_by": validation,
         }
+        # fwd+bwd (path-replay backprop) on the differentiable-north-star
+        # configs: config 1 and the 1024-spp config 4 (at one sweep point,
+        # r=0.2 — BASELINE.json's metric config)
+        if name == "1_glassSphere" or (name == "4_caustic_sweep" and r == 0.2):
+            import bench as bench_mod
+
+            rc = {}
+            bench_mod.fwdbwd_run(sess, rounds_cache=rc)  # compile
+            t0 = time.time()
+            rays_b, _ = bench_mod.fwdbwd_run(sess, rounds_cache=rc)
+            bwd_s = time.time() - t0
+            row["fwdbwd_s"] = round(bwd_s, 2)
+            row["fwdbwd_mrays_per_s"] = round(rays_b / bwd_s / 1e6, 3)
         rows.append(row)
         print(json.dumps(row), flush=True)
     return rows
@@ -96,8 +111,14 @@ def run_config(name):
 
 def main():
     names = sys.argv[1:] or list(CONFIGS)
+    all_rows = []
     for n in names:
-        run_config(n)
+        all_rows.extend(run_config(n))
+    out = os.environ.get("NART_BENCH_OUT")
+    if out:
+        with open(out, "w") as f:
+            json.dump(all_rows, f, indent=1)
+        print(f"# wrote {out}", file=sys.stderr)
 
 
 if __name__ == "__main__":
