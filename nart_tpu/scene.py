@@ -117,7 +117,9 @@ class MediumData:
     sigma_maj: float  # global majorant: max density * (sigma_a + sigma_s)
 
 
-@pytree_dataclass(meta_fields=("fov", "n_meshes", "n_tris"))
+@pytree_dataclass(
+    meta_fields=("fov", "n_meshes", "n_tris", "tex_slots")
+)
 @dataclass
 class SceneData:
     """Frozen scene: all leaves are arrays (converted lazily by jnp)."""
@@ -155,6 +157,13 @@ class SceneData:
     medium: Optional[MediumData]
     n_meshes: int
     n_tris: int
+    # STATIC: which mesh-texture slots have any texture bound (subset of
+    # {"rho_d","rho_s","tau","eta","alpha","normal"}).  Texture gathers on
+    # TPU cost ~1.3 ms per slot per bounce round at 32k lanes even when
+    # the packed buffer is a dummy texel, so make_bsdf skips unbound slots
+    # at trace time; being a meta field, it specializes the jit per scene
+    # structure (not per texel values).
+    tex_slots: tuple = ()
 
 
 def _mat4(vec) -> np.ndarray:
@@ -475,6 +484,12 @@ def load_scene(scene_path: str, asset_root: Optional[str] = None) -> SceneData:
     eta_c, eta_t = stack("eta")
     alpha_c, alpha_t = stack("alpha")
     normal_c, normal_t = stack("normal")
+    tex_slots = tuple(
+        name for name, t in (
+            ("rho_d", rho_d_t), ("rho_s", rho_s_t), ("tau", tau_t),
+            ("eta", eta_t), ("alpha", alpha_t), ("normal", normal_t),
+        ) if (t >= 0).any()
+    )
 
     return SceneData(
         tri_v=tri_v,
@@ -503,6 +518,7 @@ def load_scene(scene_path: str, asset_root: Optional[str] = None) -> SceneData:
         lights=lights,
         cam_to_world=cam_xf,
         fov=fov,
+        tex_slots=tex_slots,
         medium=medium,
         n_meshes=n_meshes,
         n_tris=len(tri_v),

@@ -140,6 +140,37 @@ def test_ring_golden():
 @pytest.mark.skipif(
     not os.environ.get("NART_SLOW_TESTS"), reason="slow: NART_SLOW_TESTS=1"
 )
+def test_ring_golden_roughened_tight():
+    """Tight ring check: the two ROUGHENED renderSessions (rougheningFactor
+    0.2 / 0.3) at 64 spp vs the 512-spp reference goldens.  Roughening
+    tames the caustic tail enough for a 5% mean bound (both sessions
+    measured ~1.9% at this config; the unroughened session 0's estimator
+    is too heavy-tailed for tight bounds below 256 spp and keeps its
+    noise-scaled tolerance above).  Slow-gated: the CPU-suite lockstep
+    walk over ring.geo's 8k tris takes >10 min at this sample count; on
+    the TPU backend (NART_TEST_PLATFORM="") it runs in under a minute."""
+    from nart_tpu import render as render_mod
+    from nart_tpu.scene import load_scene
+
+    scene_path = os.path.join(REF_SCENES, "ring.json")
+    scene = load_scene(scene_path, asset_root="/root/reference")
+    sessions = render_mod.load_sessions(
+        scene_path, dict(image_width=64, image_height=64, spp=64)
+    )
+    for si in (1, 2):
+        sess = render_mod.RenderSession(scene, sessions[si])
+        _compare(
+            sess.image(),
+            os.path.join(GOLDEN, f"ring_64x64_512spp_{si}.exr"),
+            mean_tol=0.05,
+            block_tol=0.25,
+            block_frac=0.85,
+        )
+
+
+@pytest.mark.skipif(
+    not os.environ.get("NART_SLOW_TESTS"), reason="slow: NART_SLOW_TESTS=1"
+)
 def test_ring_golden_tight():
     """All three ring renderSessions (rougheningFactor 0/0.2/0.3) at 256 spp
     vs 256-spp reference goldens — converged enough for tight bounds
@@ -252,12 +283,18 @@ def _render_golden_scene(json_name, w, h, spp):
     return sess.image()
 
 
+@pytest.mark.skipif(
+    not os.environ.get("NART_SLOW_TESTS"), reason="slow: NART_SLOW_TESTS=1"
+)
 def test_cameralens_golden():
     """cameraLens: 94k-triangle lens assembly, metal/plastic roughness +
     rho maps, env-map importance sampling — the largest-mesh reference
     scene.  Stripped textures are substituted by surviving ones in
     cameraLens_sub.json (tools/gen_heavy_goldens.py); the golden was
-    rendered by the reference binary from the identical substitute scene."""
+    rendered by the reference binary from the identical substitute scene.
+    CPU-suite cost is dominated by the 94k-tri lockstep walk (~1 h), so
+    this runs under NART_SLOW_TESTS (fast on the TPU backend:
+    NART_TEST_PLATFORM="")."""
     ours = _render_golden_scene("cameraLens_sub.json", 128, 128, 16)
     _compare(
         ours,
@@ -286,11 +323,17 @@ def test_glassicewater_golden():
     )
 
 
+@pytest.mark.skipif(
+    not os.environ.get("NART_SLOW_TESTS"), reason="slow: NART_SLOW_TESTS=1"
+)
 def test_dragonbunnyglass_golden():
     """dragonBunnyGlass class: rough glass sphere + glossy + plastic
     meshes under 3 area lights.  The stripped dragon/bunny meshes are
     substituted by ring.geo/monkey.geo re-posed in the same frame
-    (tools/gen_heavy_goldens.py)."""
+    (tools/gen_heavy_goldens.py).  Slow-gated like the other heavy
+    goldens: the CPU lockstep walk over ~10k tris runs >25 min at this
+    config; all three pass on the TPU backend in 2:23 total
+    (NART_TEST_PLATFORM="" NART_SLOW_TESTS=1)."""
     ours = _render_golden_scene("dragonBunnyGlass_sub.json", 128, 128, 16)
     _compare(
         ours,
