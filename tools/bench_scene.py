@@ -1,6 +1,6 @@
 """Quick fwd throughput check on the real TPU for one scene.
 
-Usage: python scratch/bench_scene.py <scene.json> <w> <h> <spp> [sort]
+Usage: python tools/bench_scene.py <scene.json> <w> <h> <spp> [sort]
 """
 import os
 import sys
