@@ -33,7 +33,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import rng
-from ..media import clip_to_aabb, medium_properties
+from ..media import (clip_to_aabb, medium_properties_cells,
+                     pack_density_cells)
 from ..sampling import sample_exponential_decay, uniform_sample_sphere
 from .path import _nearest_light, _path_stream_seed
 
@@ -57,6 +58,9 @@ def _make_vol_step(scene, medium, params, n):
     sigma_maj = np.float32(medium.sigma_maj)
     bmin = jnp.asarray(medium.bounds_min)
     bmax = jnp.asarray(medium.bounds_max)
+    # one-gather trilinear lookups: the cell table is built once per trace
+    # (loop-invariant), not per flight step
+    cells = pack_density_cells(medium.density)
 
     def step(vs):
         (alive, new_ray, bounce, u_mode, t_cur, t_exit, o, d, st, beta,
@@ -81,7 +85,7 @@ def _make_vol_step(scene, medium, params, n):
         left_segment = flying & (t >= t_exit)
 
         p = o + d * t[:, None]
-        inside, s_a, s_s, le_med = medium_properties(medium, p)
+        inside, s_a, s_s, le_med = medium_properties_cells(medium, cells, p)
         in_medium = flying & ~left_segment
         left_medium = in_medium & ~inside  # SampleMedium returned false
 
