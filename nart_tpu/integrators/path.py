@@ -179,14 +179,45 @@ def _nearest_light(lights, o, d, t_lim):
     return le, t_best, hit
 
 
-def _select_light_eval(lights, index, p, wi):
-    """Evaluate light[index] per lane (masked over the static light list)."""
+def _light_partition(lights):
+    """(pack, rest_idx, row_of_light): packed area lights + the rest.
+
+    row_of_light maps original light index -> pack row (or 0, unused)."""
+    from ..lights import pack_area_lights
+
+    pack, rest = pack_area_lights(lights)
+    row = np.zeros(max(len(lights), 1), np.int32)
+    if pack is not None:
+        for r, i in enumerate(pack.index):
+            row[i] = r
+    return pack, rest, jnp.asarray(row)
+
+
+def _select_light_eval(lights, index, p, wi, part=None):
+    """Evaluate light[index] per lane.
+
+    Constant-Le disk/ring lights evaluate ONCE on gathered packed
+    parameters (O(N) regardless of the light count — the many-light
+    path); env/distant/textured lights keep the per-light masked loop."""
+    from ..lights import area_pack_eval
+
+    if part is None:
+        part = _light_partition(lights)
+    pack, rest, row = part
     n = p.shape[0]
     le = jnp.zeros((n, 3))
     pdf = jnp.zeros((n,))
     t = jnp.full((n,), INF)
-    for j, li in enumerate(lights):
-        ev = light_eval(li, p, wi)
+    if pack is not None:
+        in_pack = jnp.zeros((len(lights),), bool).at[
+            jnp.asarray(pack.index, jnp.int32)
+        ].set(True)[index]
+        ev = area_pack_eval(pack, row[index], p, wi)
+        le = jnp.where(in_pack[:, None], ev.le, le)
+        pdf = jnp.where(in_pack, ev.pdf, pdf)
+        t = jnp.where(in_pack, ev.t, t)
+    for j in rest:
+        ev = light_eval(lights[j], p, wi)
         m = index == j
         le = jnp.where(m[:, None], ev.le, le)
         pdf = jnp.where(m, ev.pdf, pdf)
@@ -194,14 +225,28 @@ def _select_light_eval(lights, index, p, wi):
     return le, pdf, t
 
 
-def _select_light_sample(lights, index, p, u2):
+def _select_light_sample(lights, index, p, u2, part=None):
+    from ..lights import area_pack_sample
+
+    if part is None:
+        part = _light_partition(lights)
+    pack, rest, row = part
     n = p.shape[0]
     le = jnp.zeros((n, 3))
     wi = jnp.zeros((n, 3))
     pdf = jnp.zeros((n,))
     t = jnp.full((n,), INF)
-    for j, li in enumerate(lights):
-        s_le, s_wi, s_pdf, s_t, _ = light_sample(li, p, u2)
+    if pack is not None:
+        in_pack = jnp.zeros((len(lights),), bool).at[
+            jnp.asarray(pack.index, jnp.int32)
+        ].set(True)[index]
+        s_le, s_wi, s_pdf, s_t = area_pack_sample(pack, row[index], p, u2)
+        le = jnp.where(in_pack[:, None], s_le, le)
+        wi = jnp.where(in_pack[:, None], s_wi, wi)
+        pdf = jnp.where(in_pack, s_pdf, pdf)
+        t = jnp.where(in_pack, s_t, t)
+    for j in rest:
+        s_le, s_wi, s_pdf, s_t, _ = light_sample(lights[j], p, u2)
         m = index == j
         le = jnp.where(m[:, None], s_le, le)
         wi = jnp.where(m[:, None], s_wi, wi)
@@ -226,6 +271,9 @@ def _make_bounce(scene, bvh, params, n, differentiable=False):
     mesh_priority = jnp.asarray(scene.mesh_priority)
     # single-gather surface fetch (loop-invariant pack, see geometry.py)
     surf_rows = pack_surface_rows(tri_v, tri_n, tri_uv, tri_mesh)
+    # packed area-light tables for the selected-light strategy (O(1) in
+    # light count for constant-Le disk/ring lights)
+    light_part = _light_partition(scene.lights)
 
     from ..accel import resolve_accel_kind
 
@@ -352,14 +400,15 @@ def _make_bounce(scene, bvh, params, n, differentiable=False):
         pdfA = jax.lax.stop_gradient(pdfA)
         wiA_world = jax.lax.stop_gradient(bxdf.to_world(frame, wiA))
         liA, light_pdf_A, tA = _select_light_eval(
-            scene.lights, light_idx, surf.p, wiA_world
+            scene.lights, light_idx, surf.p, wiA_world, part=light_part
         )
         light_pdf_A = jax.lax.stop_gradient(light_pdf_A)
         # draw sites 5-6: strategy B light sample
         ub_x, st8 = rng.masked_next_float(st8, m_valid)
         ub_y, st8 = rng.masked_next_float(st8, m_valid)
         liB, wiB_world, light_pdf_B, tB = _select_light_sample(
-            scene.lights, light_idx, surf.p, jnp.stack([ub_x, ub_y], -1)
+            scene.lights, light_idx, surf.p, jnp.stack([ub_x, ub_y], -1),
+            part=light_part,
         )
         wiB_world = jax.lax.stop_gradient(wiB_world)
         light_pdf_B = jax.lax.stop_gradient(light_pdf_B)

@@ -313,6 +313,150 @@ def _distant_sample(light: LightData, p, u2):
 
 
 # ---------------------------------------------------------------------------
+# Packed area-light tables: O(1)-in-light-count SELECTED evaluation
+# ---------------------------------------------------------------------------
+# The integrator's light-sampling strategy evaluates only light[index] per
+# lane; unrolling every light and masking is O(L*N) per bounce — the
+# many-light wall.  Constant-Le disk/ring lights share one closed form, so
+# their parameters pack into small tables: gather the selected light's row
+# (L is tiny — the gathers are free) and evaluate ONCE.  Env / distant /
+# textured-Le lights keep the per-light masked path (they carry per-light
+# texture/CDF arrays that cannot be table-packed).
+
+
+class AreaLightPack(NamedTuple):
+    index: tuple  # original light-list indices covered by this pack
+    center: jnp.ndarray  # (L, 3)
+    n: jnp.ndarray  # (L, 3) emission normal
+    ux: jnp.ndarray  # (L, 3)
+    uy: jnp.ndarray  # (L, 3)
+    radius: jnp.ndarray  # (L,)
+    inner_k2: jnp.ndarray  # (L,) (inner/radius)^2 — 0 for disks
+    is_ring: jnp.ndarray  # (L,) bool
+    area_pdf: jnp.ndarray  # (L,) eval-side area pdf
+    pdf0_ring_scale: jnp.ndarray  # (L,) sample-side 1/(pi r^2) factor
+    le: jnp.ndarray  # (L, 3) le_const * intensity
+
+
+def pack_area_lights(lights):
+    """Pack constant-Le disk/ring lights; returns (pack | None, rest_idx).
+
+    rest_idx are the original indices NOT covered (env/distant/textured)."""
+    idx, rows = [], []
+    rest = []
+    for i, li in enumerate(lights):
+        if li.kind in (LIGHT_DISK, LIGHT_RING) and li.le_tex is None:
+            idx.append(i)
+            rows.append(li)
+        else:
+            rest.append(i)
+    if not idx:
+        return None, tuple(rest)
+    xfs = [jnp.asarray(li.xf) for li in rows]
+    zneg = jnp.asarray([0.0, 0.0, -1.0], jnp.float32)
+    xpos = jnp.asarray([1.0, 0.0, 0.0], jnp.float32)
+    ypos = jnp.asarray([0.0, 1.0, 0.0], jnp.float32)
+    pack = AreaLightPack(
+        index=tuple(idx),
+        center=jnp.stack([xf[:3, 3] for xf in xfs]),
+        n=jnp.stack([_xform_dir(xf, zneg) for xf in xfs]),
+        ux=jnp.stack([_xform_dir(xf, xpos) for xf in xfs]),
+        uy=jnp.stack([_xform_dir(xf, ypos) for xf in xfs]),
+        radius=jnp.asarray([li.radius for li in rows], jnp.float32),
+        inner_k2=jnp.asarray(
+            [
+                (li.inner_radius / li.radius) ** 2 if li.kind == LIGHT_RING
+                else 0.0
+                for li in rows
+            ],
+            jnp.float32,
+        ),
+        is_ring=jnp.asarray(
+            [li.kind == LIGHT_RING for li in rows], bool
+        ),
+        area_pdf=jnp.asarray(
+            [
+                1.0 / (np.pi * (1.0 - (li.inner_radius / li.radius) ** 2)
+                       * li.radius**2)
+                if li.kind == LIGHT_RING
+                else 1.0 / (np.pi * li.radius**2)
+                for li in rows
+            ],
+            jnp.float32,
+        ),
+        pdf0_ring_scale=jnp.asarray(
+            [1.0 / (np.pi * li.radius**2) for li in rows], jnp.float32
+        ),
+        le=jnp.stack(
+            [jnp.asarray(li.le_const) * li.intensity for li in rows]
+        ),
+    )
+    return pack, tuple(rest)
+
+
+def area_pack_eval(pack: AreaLightPack, sel, p, wi):
+    """Li of the per-lane SELECTED packed light: sel (N,) rows of the pack.
+
+    Same math as _disk_like_eval on gathered parameters (st/Le constant)."""
+    center = pack.center[sel]
+    n = pack.n[sel]
+    radius = pack.radius[sel]
+    wi_dot_n = jnp.sum(wi * n, axis=-1)
+    plane_d = jnp.sum(center * n, axis=-1)
+    t = _safe_div(plane_d - jnp.sum(p * n, axis=-1), wi_dot_n)
+    p_hit = p + t[..., None] * wi
+    delta = p_hit - center
+    dist2 = jnp.sum(delta * delta, axis=-1)
+    r2 = radius * radius
+    ok = (wi_dot_n < 0.0) & (t >= 0.0) & (dist2 <= r2)
+    ok &= dist2 >= pack.inner_k2[sel] * r2  # 0 for disks: no-op
+    pdf = jnp.where(
+        ok, pack.area_pdf[sel] * _safe_div(t * t, -wi_dot_n), 0.0
+    )
+    le = jnp.where((pdf > 0.0)[..., None], pack.le[sel], 0.0)
+    t_out = jnp.where(pdf > 0.0, t, np.float32(np.inf))
+    return LightEval(le=le, pdf=pdf, t=t_out)
+
+
+def area_pack_sample(pack: AreaLightPack, sel, p, u2):
+    """Sample_Li of the per-lane SELECTED packed light.
+
+    Disk and ring sampling share the warp up to the ring's annulus remap
+    (sampling.cpp:18-31) and the double-pi pdf quirk — both expressed with
+    per-lane selects over the gathered parameters."""
+    radius = pack.radius[sel]
+    is_ring = pack.is_ring[sel]
+    k2 = pack.inner_k2[sel]
+    k = jnp.sqrt(k2)
+
+    # ring mix quirk parity (sampling.cpp:18-31 via uniform_sample_ring)
+    xy_d = uniform_sample_disk(u2)
+    xy_r, pdf_r = uniform_sample_ring(u2, k)
+    xy = jnp.where(is_ring[..., None], xy_r, xy_d)
+    pdf0 = jnp.where(
+        is_ring,
+        pdf_r * pack.pdf0_ring_scale[sel],  # double-pi quirk parity
+        pack.area_pdf[sel],
+    )
+    xy = xy * radius[..., None]
+
+    sample_world = (
+        pack.center[sel]
+        + xy[..., 0:1] * pack.ux[sel]
+        + xy[..., 1:2] * pack.uy[sel]
+    )
+    n = pack.n[sel]
+    wi = sample_world - p
+    dist = jnp.sqrt(jnp.sum(wi * wi, -1))
+    wi = wi / jnp.where(dist == 0.0, 1.0, dist)[..., None]
+    wi_dot_n = -jnp.sum(wi * n, axis=-1)
+    visible = wi_dot_n > 0.0
+    pdf = jnp.where(visible, pdf0 * _safe_div(dist * dist, wi_dot_n), 0.0)
+    le = jnp.where(visible[..., None], pack.le[sel], 0.0)
+    return le, wi, pdf, dist
+
+
+# ---------------------------------------------------------------------------
 # Public dispatch (static per light)
 # ---------------------------------------------------------------------------
 
