@@ -50,6 +50,8 @@ def _enable_persistent_compile_cache() -> None:
             "NART_TPU_CACHE",
             os.path.join(os.path.expanduser("~"), ".cache", "nart_tpu_xla"),
         )
+        if base in ("", "0", "off"):
+            return
         # Partition by platform config AND host identity: a shared dir
         # between the TPU and CPU-test processes produced
         # concurrently-written entries whose deserialization segfaulted

@@ -1075,12 +1075,12 @@ def _balanced_machine(
         # (max path length rounds while the queue empties) always costs
         # ~bounces full-price rounds, so oversized wavefronts pay bounces *
         # c(lanes) of mostly-idle work.  Minimising (work/L + bounces) *
-        # c(L) gives L* ~ sqrt(work); measured sweeps: glassSphere
-        # 512^2@16spp (16k..1M lanes): 5.6, 5.5, 5.8, 6.5, 7.6, 8.7, 11.2 s
-        # and cameraLens 256^2@4spp (16k/32k/64k): 1.92, 1.79, 1.84 s —
-        # both optimal at 32k, hence the floor.
+        # c(L) gives L* ~ sqrt(work).  Round-4 sweeps (after the per-round
+        # fixed costs shrank): glassSphere 512^2@16spp 32k/64k/128k lanes =
+        # 4.71/4.86/4.34 Mrays/s and cameraLens 256^2@4spp 16k/32k/64k/128k
+        # = 1.02/0.99/1.08/0.81 — both optimal at 64k, hence the floor.
         target = 12.0 * float(total) ** 0.5
-        n_lanes = 1 << max(15, int(np.ceil(np.log2(max(target, 1.0)))))
+        n_lanes = 1 << max(16, int(np.ceil(np.log2(max(target, 1.0)))))
         n_lanes = min(n_lanes, 1 << 19, _next_pow2(total))
     n = n_lanes
     if n_pix_total is None:

@@ -27,3 +27,21 @@ import jax  # noqa: E402
 _plat = os.environ.get("NART_TEST_PLATFORM", "cpu")
 if _plat:
     jax.config.update("jax_platforms", _plat)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _free_jit_code_space():
+    """Drop compiled-program caches after every test module.
+
+    XLA:CPU never returns JIT code memory while executables are alive, and
+    its allocator's budget is exhausted after ~50 of this suite's large
+    wavefront programs in one process: LLVM reports 'Cannot allocate
+    memory' and the next compile SEGFAULTS — the mid-suite crashes
+    root-caused in round 4 (a 100-compile repro dies at iteration ~50
+    without this, and completes with it; RSS stays flat).  Per-module
+    clearing keeps any one module far under the budget while preserving
+    intra-module program reuse."""
+    yield
+    jax.clear_caches()
