@@ -611,7 +611,7 @@ def bsdf_sample_eta(desc: BsdfDesc, u1):
     """BSDF::Sample_eta (bxdf.cpp:94-100)."""
     idx = (u1 * desc.n_lobes.astype(jnp.float32)).astype(jnp.int32)
     idx = jnp.clip(idx, 0, 1)
-    code = jnp.take_along_axis(desc.lobe, idx[..., None], axis=-1)[..., 0]
+    code = jnp.where(idx == 0, desc.lobe[..., 0], desc.lobe[..., 1])
     return lobe_eta(desc, code)
 
 
@@ -623,7 +623,7 @@ def bsdf_sample_f(desc: BsdfDesc, wo, u1, u2, use_prime, eta_outer, prev_flags):
     n_f = desc.n_lobes.astype(jnp.float32)
     idx = jnp.clip((u1 * n_f).astype(jnp.int32), 0, 1)
     u1r = u1 * n_f - jnp.floor(u1 * n_f)  # glm::fract remap
-    code = jnp.take_along_axis(desc.lobe, idx[..., None], axis=-1)[..., 0]
+    code = jnp.where(idx == 0, desc.lobe[..., 0], desc.lobe[..., 1])
 
     f, wi, pdf, flags, alpha_i = _lobe_sample(
         desc, code, wo, u1r, u2, use_prime, eta_outer, prev_flags
@@ -631,7 +631,7 @@ def bsdf_sample_f(desc: BsdfDesc, wo, u1, u2, use_prime, eta_outer, prev_flags):
     eta_sampled = lobe_eta(desc, code)
 
     # mix in the other lobe when the sampled flags are not SPECULAR
-    other_code = jnp.take_along_axis(desc.lobe, (1 - idx)[..., None], -1)[..., 0]
+    other_code = jnp.where(idx == 1, desc.lobe[..., 0], desc.lobe[..., 1])
     mix = (
         ((flags & SPECULAR) == 0)
         & (desc.n_lobes >= 2)

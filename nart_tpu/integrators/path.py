@@ -32,7 +32,8 @@ from .. import bxdf, rng
 from ..accel import BVH, intersect_bvh
 from ..geometry import intersect_brute, pack_surface_rows, surface_at_packed
 from ..lights import light_eval, light_sample
-from ..materials import make_bsdf
+from ..materials import make_bsdf, mesh_luts
+from ..select import row_pick, row_put, small_lut
 
 SHADOW_BIAS = np.float32(0.001)  # pathintegrator.h:36
 INF = np.float32(np.inf)
@@ -82,13 +83,12 @@ def isect_list_query(lst: IsectList, mesh_id, priority):
     count = occupied.sum(axis=-1)
     # newest and second-newest entries (stamp == 0 for empty slots)
     last = jnp.argmax(stamp, axis=-1)
-    rows = jnp.arange(stamp.shape[0])
-    stamp2 = stamp.at[rows, last].set(0)
+    stamp2 = row_put(stamp, last, 0)
     penult = jnp.argmax(stamp2, axis=-1)
 
-    last_mesh = mesh[rows, last]
-    last_eta = lst.eta[rows, last]
-    penult_eta = lst.eta[rows, penult]
+    last_mesh = row_pick(mesh, last)
+    last_eta = row_pick(lst.eta, last)
+    penult_eta = row_pick(lst.eta, penult)
 
     eta_outer = jnp.where(
         count == 0,
@@ -112,14 +112,11 @@ def isect_list_apply(lst: IsectList, mesh_id, priority, eta_sampled, do_update):
     occupied, stamp, _, mesh = _unpack(lst.packed)
     match = occupied & (mesh == mesh_id[:, None])
     has_match = jnp.any(match, axis=-1)
-    rows = jnp.arange(lst.packed.shape[0])
 
     match_stamp = jnp.where(match, stamp, -1)
     erase_slot = jnp.argmax(match_stamp, axis=-1)
     do_erase = do_update & has_match
-    packed = lst.packed.at[rows, erase_slot].set(
-        jnp.where(do_erase, 0, lst.packed[rows, erase_slot])
-    )
+    packed = row_put(lst.packed, erase_slot, 0, mask=do_erase)
 
     free = packed == 0
     ins_slot = jnp.argmax(free, axis=-1)
@@ -129,12 +126,8 @@ def isect_list_apply(lst: IsectList, mesh_id, priority, eta_sampled, do_update):
         | (priority << _MESH_BITS)
         | mesh_id
     )
-    packed = packed.at[rows, ins_slot].set(
-        jnp.where(do_insert, new_entry, packed[rows, ins_slot])
-    )
-    eta = lst.eta.at[rows, ins_slot].set(
-        jnp.where(do_insert, eta_sampled, lst.eta[rows, ins_slot])
-    )
+    packed = row_put(packed, ins_slot, new_entry, mask=do_insert)
+    eta = row_put(lst.eta, ins_slot, eta_sampled, mask=do_insert)
     next_stamp = lst.next_stamp + do_insert.astype(jnp.int32)
     return IsectList(packed=packed, eta=eta, next_stamp=next_stamp)
 
@@ -193,6 +186,14 @@ def _light_partition(lights):
     return pack, rest, jnp.asarray(row)
 
 
+def _index_in(index, members):
+    """(N,) bool: index is one of the STATIC member ids (no gather)."""
+    m = jnp.zeros(index.shape, bool)
+    for i in members:
+        m = m | (index == i)
+    return m
+
+
 def _select_light_eval(lights, index, p, wi, part=None):
     """Evaluate light[index] per lane.
 
@@ -209,10 +210,9 @@ def _select_light_eval(lights, index, p, wi, part=None):
     pdf = jnp.zeros((n,))
     t = jnp.full((n,), INF)
     if pack is not None:
-        in_pack = jnp.zeros((len(lights),), bool).at[
-            jnp.asarray(pack.index, jnp.int32)
-        ].set(True)[index]
-        ev = area_pack_eval(pack, row[index], p, wi)
+        in_pack = _index_in(index, pack.index)
+        lut = small_lut(index, len(lights))
+        ev = area_pack_eval(pack, lut(row), p, wi)
         le = jnp.where(in_pack[:, None], ev.le, le)
         pdf = jnp.where(in_pack, ev.pdf, pdf)
         t = jnp.where(in_pack, ev.t, t)
@@ -237,10 +237,9 @@ def _select_light_sample(lights, index, p, u2, part=None):
     pdf = jnp.zeros((n,))
     t = jnp.full((n,), INF)
     if pack is not None:
-        in_pack = jnp.zeros((len(lights),), bool).at[
-            jnp.asarray(pack.index, jnp.int32)
-        ].set(True)[index]
-        s_le, s_wi, s_pdf, s_t = area_pack_sample(pack, row[index], p, u2)
+        in_pack = _index_in(index, pack.index)
+        lut = small_lut(index, len(lights))
+        s_le, s_wi, s_pdf, s_t = area_pack_sample(pack, lut(row), p, u2)
         le = jnp.where(in_pack[:, None], s_le, le)
         wi = jnp.where(in_pack[:, None], s_wi, wi)
         pdf = jnp.where(in_pack, s_pdf, pdf)
@@ -278,13 +277,23 @@ def _make_bounce(scene, bvh, params, n, differentiable=False):
     from ..accel import resolve_accel_kind
 
     accel_kind = resolve_accel_kind(getattr(params, "accel", "bvh"))
-    # shadow-batch coherence sort: same auto policy as the balanced
-    # machine's per-round lane sort (pays only when blocks see many
-    # clusters); explicit params.sort_rays overrides
-    sort_shadow = getattr(params, "sort_rays", None)
-    if sort_shadow is None:
-        sort_shadow = getattr(bvh, "n_clusters", 0) > 64
-    sort_shadow = sort_shadow and accel_kind == "pallas"
+    # traversal coherence sort: rays are sorted by direction octant +
+    # origin Morton cell INSIDE the intersect call only (inputs gathered,
+    # outputs scattered back), so shading stays in lane order and no state
+    # pytree is ever permuted — the old whole-Paths permute cost ~13 ms /
+    # round at 64k lanes for the same kernel-side benefit.  Pays only when
+    # blocks see many clusters; explicit params.sort_rays overrides.
+    sort_isect = getattr(params, "sort_rays", None)
+    if sort_isect is None:
+        sort_isect = getattr(bvh, "n_clusters", 0) > 64
+    sort_isect = sort_isect and accel_kind == "pallas"
+    # packed half textures on the non-differentiable path (exact parity:
+    # the reference's in-memory textures are half); AD needs the f32 table
+    tex_p2 = None
+    if not differentiable and getattr(scene, "tex_slots", ()):
+        from ..materials import pack_tex_half
+
+        tex_p2 = pack_tex_half(jnp.asarray(scene.tex_data))
     tv_flat = jnp.reshape(tri_v, (-1, 3))
     scene_lo = jnp.min(tv_flat, axis=0)
     scene_inv_extent = 1.0 / jnp.maximum(
@@ -301,13 +310,44 @@ def _make_bounce(scene, bvh, params, n, differentiable=False):
             "accel='pallas' needs a ClusterAccel (build_clusters)"
         )
 
-        def isect(io, idd, tmin, tmax):
+        def isect_raw(io, idd, tmin, tmax):
             return intersect_clusters(io, idd, tmin, tmax, bvh)
 
-        def isect_occl(io, idd, tmin, tmax):
+        def isect_occl_raw(io, idd, tmin, tmax):
             # shadow rays only need a boolean: the any-hit kernel drops the
             # per-cluster argmin bookkeeping and early-outs saturated blocks
             return intersect_clusters_any(io, idd, tmin, tmax, bvh)
+
+        if sort_isect:
+
+            def isect(io, idd, tmin, tmax):
+                key = _sort_key(scene_lo, scene_inv_extent, io, idd,
+                                tmax > 0.0)
+                perm = jnp.argsort(key)
+                h = isect_raw(io[perm], idd[perm], tmin[perm], tmax[perm])
+                inv = (
+                    jnp.zeros_like(perm)
+                    .at[perm]
+                    .set(jnp.arange(perm.shape[0], dtype=perm.dtype),
+                         unique_indices=True)
+                )
+                return jax.tree_util.tree_map(lambda x: x[inv], h)
+
+            def isect_occl(io, idd, tmin, tmax):
+                key = _sort_key(scene_lo, scene_inv_extent, io, idd,
+                                tmax > 0.0)
+                perm = jnp.argsort(key)
+                occ = isect_occl_raw(io[perm], idd[perm], tmin[perm],
+                                     tmax[perm])
+                return (
+                    jnp.zeros(occ.shape, jnp.int32)
+                    .at[perm]
+                    .set(occ.astype(jnp.int32), unique_indices=True)
+                    != 0
+                )
+
+        else:
+            isect, isect_occl = isect_raw, isect_occl_raw
 
     elif accel_kind == "brute":
         # chunked streaming intersector: on TPU the lockstep BVH walk is
@@ -365,9 +405,10 @@ def _make_bounce(scene, bvh, params, n, differentiable=False):
 
         # ---- material resolve ------------------------------------------
         frame, desc = make_bsdf(
-            scene, surf.mesh, surf.st, surf.sn, surf.dpds, p.alpha_tweak
+            scene, surf.mesh, surf.st, surf.sn, surf.dpds, p.alpha_tweak,
+            tex_p2=tex_p2,
         )
-        prio = mesh_priority[surf.mesh]
+        prio = mesh_luts(surf.mesh, mesh_priority.shape[0])[2](mesh_priority)
         valid, eta_outer = isect_list_query(p.lst, surf.mesh, prio)
         m_valid = alive & valid
         m_invalid = alive & ~valid
@@ -452,27 +493,11 @@ def _make_bounce(scene, bvh, params, n, differentiable=False):
         )
         if _DEBUG_SKIP_SHADOW:  # profiling knob: attribute traversal cost
             occ = jnp.zeros((2 * n,), bool)
-        elif sort_shadow:
-            # shadow rays inherit the main lanes' order, which is coherent
-            # in ORIGIN but not direction: strategy-A directions are
-            # BSDF-sampled (scrambled on rough surfaces) and the A/B halves
-            # interleave differently.  Re-sorting the 2n shadow batch by
-            # its own octant+origin key lets the any-hit kernel's block
-            # culling work; the boolean permutes back with one scatter.
-            key = _sort_key(scene_lo, scene_inv_extent, sh_o, sh_d, sh_t > 0.0)
-            perm = jnp.argsort(key)
-            occ_s = isect_occl(
-                sh_o[perm], sh_d[perm], jnp.zeros((2 * n,)), sh_t[perm]
-            )
-            occ = (
-                jnp.zeros((2 * n,), jnp.int32)
-                .at[perm]
-                .set(occ_s.astype(jnp.int32), unique_indices=True)
-                != 0
-            )
-            if differentiable:
-                occ = checkpoint_name(occ, "isect")
         else:
+            # the 2n shadow batch inherits the main lanes' order — coherent
+            # in ORIGIN but not direction (strategy-A directions are
+            # BSDF-sampled, and the A/B halves interleave differently);
+            # isect_occl re-sorts by its own octant+origin key internally
             occ = isect_occl(sh_o, sh_d, jnp.zeros((2 * n,)), sh_t)
             if differentiable:
                 occ = checkpoint_name(occ, "isect")
@@ -1126,11 +1151,8 @@ def _balanced_machine(
         jnp.zeros((n,), jnp.int32),  # per-lane bounce
         item0,  # per-lane work item
         jnp.int32(min(n, total)),  # queue head
-        jnp.int32(0),  # round counter (lane-sort cadence)
+        jnp.int32(0),  # round counter
     )
-    import os as _os
-
-    sort_every = int(_os.environ.get("NART_SORT_EVERY", "1"))
 
     def step(core):
         paths, bounce, item, head, round_no = core
@@ -1170,49 +1192,11 @@ def _balanced_machine(
             lst=_isect_list_reset(p.lst, respawn),
         )
         bounce = jnp.where(respawn, 0, bounce_next)
-
-        sort = getattr(params, "sort_rays", None)
-        if sort is None:
-            # auto: the argsort+permute (~40ms/round at 512k lanes) only
-            # pays for itself when blocks see many clusters — measured
-            # 2.5x win at 738 clusters (cameraLens), 12% loss at 20
-            # (glassSphere)
-            sort = getattr(bvh, "n_clusters", 0) > 64
-        if sort:
-            # re-pack lanes for the next round's traversal: coherent blocks
-            # cull clusters; dead lanes pack into whole-dead blocks.  Lanes
-            # are anonymous work slots (the item id travels with the lane),
-            # so the permutation needs no inverse anywhere.
-            def do_sort(args):
-                paths, bounce, item = args
-                key = _sort_key(
-                    scene_lo_j, scene_inv_extent_j, paths.o, paths.d,
-                    paths.alive,
-                )
-                perm = jnp.argsort(key)
-                paths = jax.tree_util.tree_map(
-                    lambda x: x if x.ndim == 0 else x[perm], paths
-                )
-                return paths, bounce[perm], item[perm]
-
-            if sort_every > 1:
-                # cadence: skip the argsort+permute on off-rounds entirely
-                # (lanes drift slowly between sorts)
-                paths, bounce, item = jax.lax.cond(
-                    round_no % sort_every == 0,
-                    do_sort,
-                    lambda args: args,
-                    (paths, bounce, item),
-                )
-            else:
-                paths, bounce, item = do_sort((paths, bounce, item))
+        # NOTE: no lane permutation here — traversal coherence sorting
+        # happens INSIDE the intersect calls (see _make_bounce), so lanes
+        # stay put and the whole-Paths gather the old per-round sort paid
+        # (~13 ms/round at 64k lanes) is gone.
 
         return (paths, bounce, item, head, round_no + 1), dying, la, item_before
-
-    tv = jnp.reshape(jnp.asarray(scene.tri_v), (-1, 3))
-    scene_lo_j = jnp.min(tv, axis=0)
-    scene_inv_extent_j = 1.0 / jnp.maximum(
-        jnp.max(tv, axis=0) - scene_lo_j, 1e-12
-    )
 
     return core0, step

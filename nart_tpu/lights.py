@@ -397,10 +397,14 @@ def pack_area_lights(lights):
 def area_pack_eval(pack: AreaLightPack, sel, p, wi):
     """Li of the per-lane SELECTED packed light: sel (N,) rows of the pack.
 
-    Same math as _disk_like_eval on gathered parameters (st/Le constant)."""
-    center = pack.center[sel]
-    n = pack.n[sel]
-    radius = pack.radius[sel]
+    Same math as _disk_like_eval on one-hot-looked-up parameters (st/Le
+    constant); see select.small_lut for why not gathers."""
+    from .select import small_lut
+
+    lut = small_lut(sel, pack.radius.shape[0])
+    center = lut(pack.center)
+    n = lut(pack.n)
+    radius = lut(pack.radius)
     wi_dot_n = jnp.sum(wi * n, axis=-1)
     plane_d = jnp.sum(center * n, axis=-1)
     t = _safe_div(plane_d - jnp.sum(p * n, axis=-1), wi_dot_n)
@@ -409,11 +413,11 @@ def area_pack_eval(pack: AreaLightPack, sel, p, wi):
     dist2 = jnp.sum(delta * delta, axis=-1)
     r2 = radius * radius
     ok = (wi_dot_n < 0.0) & (t >= 0.0) & (dist2 <= r2)
-    ok &= dist2 >= pack.inner_k2[sel] * r2  # 0 for disks: no-op
+    ok &= dist2 >= lut(pack.inner_k2) * r2  # 0 for disks: no-op
     pdf = jnp.where(
-        ok, pack.area_pdf[sel] * _safe_div(t * t, -wi_dot_n), 0.0
+        ok, lut(pack.area_pdf) * _safe_div(t * t, -wi_dot_n), 0.0
     )
-    le = jnp.where((pdf > 0.0)[..., None], pack.le[sel], 0.0)
+    le = jnp.where((pdf > 0.0)[..., None], lut(pack.le), 0.0)
     t_out = jnp.where(pdf > 0.0, t, np.float32(np.inf))
     return LightEval(le=le, pdf=pdf, t=t_out)
 
@@ -423,10 +427,13 @@ def area_pack_sample(pack: AreaLightPack, sel, p, u2):
 
     Disk and ring sampling share the warp up to the ring's annulus remap
     (sampling.cpp:18-31) and the double-pi pdf quirk — both expressed with
-    per-lane selects over the gathered parameters."""
-    radius = pack.radius[sel]
-    is_ring = pack.is_ring[sel]
-    k2 = pack.inner_k2[sel]
+    per-lane selects over the looked-up parameters."""
+    from .select import small_lut
+
+    lut = small_lut(sel, pack.radius.shape[0])
+    radius = lut(pack.radius)
+    is_ring = lut(pack.is_ring)
+    k2 = lut(pack.inner_k2)
     k = jnp.sqrt(k2)
 
     # ring mix quirk parity (sampling.cpp:18-31 via uniform_sample_ring)
@@ -435,24 +442,24 @@ def area_pack_sample(pack: AreaLightPack, sel, p, u2):
     xy = jnp.where(is_ring[..., None], xy_r, xy_d)
     pdf0 = jnp.where(
         is_ring,
-        pdf_r * pack.pdf0_ring_scale[sel],  # double-pi quirk parity
-        pack.area_pdf[sel],
+        pdf_r * lut(pack.pdf0_ring_scale),  # double-pi quirk parity
+        lut(pack.area_pdf),
     )
     xy = xy * radius[..., None]
 
     sample_world = (
-        pack.center[sel]
-        + xy[..., 0:1] * pack.ux[sel]
-        + xy[..., 1:2] * pack.uy[sel]
+        lut(pack.center)
+        + xy[..., 0:1] * lut(pack.ux)
+        + xy[..., 1:2] * lut(pack.uy)
     )
-    n = pack.n[sel]
+    n = lut(pack.n)
     wi = sample_world - p
     dist = jnp.sqrt(jnp.sum(wi * wi, -1))
     wi = wi / jnp.where(dist == 0.0, 1.0, dist)[..., None]
     wi_dot_n = -jnp.sum(wi * n, axis=-1)
     visible = wi_dot_n > 0.0
     pdf = jnp.where(visible, pdf0 * _safe_div(dist * dist, wi_dot_n), 0.0)
-    le = jnp.where(visible[..., None], pack.le[sel], 0.0)
+    le = jnp.where(visible[..., None], lut(pack.le), 0.0)
     return le, wi, pdf, dist
 
 

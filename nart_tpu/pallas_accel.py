@@ -60,8 +60,10 @@ BLOCK = 512
 # target size of the SUPERCLUSTER visit list: the per-block XLA prefilter
 # (interval test + argsort) runs at this granularity, so its cost stops
 # scaling with triangle count — 738-cluster cameraLens paid an
-# argsort(nb x 738) per bounce before the second level
-SUPER_TARGET = 64
+# argsort(nb x 738) per bounce before the second level.  128 measured
+# faster than 64 on cameraLens (1.13 vs 1.07 Mrays/s): finer
+# front-to-back entries cull more member clusters.
+SUPER_TARGET = 128
 
 
 @pytree_dataclass(
@@ -83,6 +85,10 @@ class ClusterAccel:
     order: Any  # (n_clusters * csize,) int32 original tri id (-1 padding)
     aabb: Any  # (6, n_clusters): lox loy loz hix hiy hiz (lane-major layout)
     sc_aabb: Any  # (6, n_sc): supercluster AABBs, same layout
+    morder: Any  # (8, n_sc * sc_size) int32: per-direction-octant member
+    # visit order (ascending centroid projection along the octant
+    # diagonal) — approximate front-to-back WITHIN a supercluster, so
+    # t_best tightens early and later members fail their slab gates
     cl_lo: Any  # (n_clusters, 3) — kept for oracle/mask tests
     cl_hi: Any  # (n_clusters, 3)
     n_clusters: int
@@ -102,6 +108,8 @@ def build_clusters(tri_v: np.ndarray, super_target=SUPER_TARGET,
     # 64/256 vs 0.92 at 128/512 — tighter AABBs cull more wasted triangle
     # tests, finer blocks see tighter interval bounds)
     large = len(tri_v) >= 32768
+    super_target = (int(_os.environ.get("NART_SUPER_TARGET", "0"))
+                    or super_target)
     if csize is None:
         csize = (int(_os.environ.get("NART_CLUSTER_SIZE", "0"))
                  or (64 if large else CLUSTER))
@@ -148,6 +156,23 @@ def build_clusters(tri_v: np.ndarray, super_target=SUPER_TARGET,
     # interval test rejects them, and their zeroed planes cannot hit
     sc_lo = cl_lo.reshape(n_sc, sc_size, 3).min(axis=1)
     sc_hi = cl_hi.reshape(n_sc, sc_size, 3).max(axis=1)
+    # per-octant member visit orders: octant o's diagonal is
+    # (±1, ±1, ±1); order each supercluster's members by ascending
+    # projection of the cluster centroid onto it (empty clusters last —
+    # their (+inf,-inf) bounds give centroid NaN -> pushed to the end)
+    cl_cent = 0.5 * (cl_lo + cl_hi)  # (n_cl, 3)
+    morder = np.zeros((8, n_sc, sc_size), np.int32)
+    base = np.arange(n_cl, dtype=np.int32).reshape(n_sc, sc_size)
+    for o in range(8):
+        sgn = np.array(
+            [1.0 if o & 4 else -1.0,
+             1.0 if o & 2 else -1.0,
+             1.0 if o & 1 else -1.0], np.float32)
+        proj = cl_cent @ sgn
+        proj = np.where(np.isfinite(proj), proj, np.float32(np.inf))
+        rank = np.argsort(proj.reshape(n_sc, sc_size), axis=1,
+                          kind="stable")
+        morder[o] = np.take_along_axis(base, rank, axis=1)
     return ClusterAccel(
         planes=jnp.asarray(planes.astype(np.float32)),
         order=jnp.asarray(order_p),
@@ -157,6 +182,7 @@ def build_clusters(tri_v: np.ndarray, super_target=SUPER_TARGET,
         sc_aabb=jnp.asarray(
             np.concatenate([sc_lo.T, sc_hi.T], axis=0).astype(np.float32)
         ),
+        morder=jnp.asarray(morder.reshape(8, n_cl)),
         cl_lo=jnp.asarray(cl_lo),
         cl_hi=jnp.asarray(cl_hi),
         n_clusters=n_cl,
@@ -380,10 +406,32 @@ def _inv_dir(dx, dy, dz):
     )
 
 
+def _block_octant(rv):
+    """Majority direction octant of the block's live rays (scalar int32).
+
+    The caller sorts rays by a key whose leading bits are this same octant
+    (path._sort_key), so blocks are octant-uniform away from boundaries;
+    a majority vote handles the mixed remainder.  Bit layout matches the
+    sort key: 4*(dx>0) + 2*(dy>0) + (dz>0)."""
+    live = rv[7] > 0.0
+
+    def maj(c):
+        return jnp.sum(jnp.where(live & (c > 0.0), 1.0, 0.0)) > (
+            0.5 * jnp.maximum(jnp.sum(live.astype(jnp.float32)), 1.0)
+        )
+
+    return (
+        maj(rv[3]).astype(jnp.int32) * 4
+        + maj(rv[4]).astype(jnp.int32) * 2
+        + maj(rv[5]).astype(jnp.int32)
+    )
+
+
 def _kernel(
     count_ref,  # (n_blocks,) int32, scalar-prefetched to SMEM
     aabb_ref,  # (6, n_clusters) f32, scalar-prefetched to SMEM
     sc_aabb_ref,  # (6, n_sc) f32, scalar-prefetched to SMEM
+    morder_ref,  # (8, n_clusters) int32: per-octant member visit order
     ray_ref,  # (8, R): ox oy oz dx dy dz tmin tmax
     sel_ref,  # (5, R): watertight permute/shear selection data
     list_ref,  # (1, 1, n_sc) int32 SMEM row: this block's sc visit order
@@ -402,6 +450,7 @@ def _kernel(
     rv = _ray_vectors(ray_ref, sel_ref)
     t_min = rv[6]
     inv_x, inv_y, inv_z = _inv_dir(rv[3], rv[4], rv[5])
+    oct_ = _block_octant(rv)
 
     t_out[:] = rv[7]
     idx_out[:] = jnp.full(t_out.shape, -1, jnp.int32)
@@ -456,8 +505,10 @@ def _kernel(
         if sc_size == 1:
             visit_cluster(sc)
         else:
-            # supercluster slab gate, then its Morton-ordered members (each
-            # gated by its own per-ray slab vs the shrinking t-best window)
+            # supercluster slab gate, then its members in the block
+            # octant's approximate front-to-back order (each gated by its
+            # own per-ray slab vs the shrinking t-best window — visiting
+            # near members first tightens t_best so far members fail)
             t_best = t_out[0, :][None, :]
             live_sc = _cluster_slab(sc_aabb_ref, sc, rv, inv_x, inv_y,
                                     inv_z, t_min, t_best)
@@ -465,7 +516,7 @@ def _kernel(
             @pl.when(jnp.any(live_sc))
             def _():
                 def inner(j, _):
-                    visit_cluster(sc * sc_size + j)
+                    visit_cluster(morder_ref[oct_, sc * sc_size + j])
                     return 0
 
                 jax.lax.fori_loop(0, sc_size, inner, 0)
@@ -485,6 +536,7 @@ def _kernel_any(
     count_ref,  # (n_blocks,) int32, scalar-prefetched to SMEM
     aabb_ref,  # (6, n_clusters) f32, scalar-prefetched to SMEM
     sc_aabb_ref,  # (6, n_sc) f32, scalar-prefetched to SMEM
+    morder_ref,  # (8, n_clusters) int32: per-octant member visit order
     ray_ref,  # (8, R)
     sel_ref,  # (5, R)
     list_ref,  # (1, 1, n_sc) int32 SMEM row
@@ -508,6 +560,7 @@ def _kernel_any(
     rv = _ray_vectors(ray_ref, sel_ref)
     t_min, t_max = rv[6], rv[7]
     inv_x, inv_y, inv_z = _inv_dir(rv[3], rv[4], rv[5])
+    oct_ = _block_octant(rv)
 
     # parked/culled lanes (t_max <= 0) can never record a hit: seed them as
     # "occluded" so they count as decided for the early-out, and strip them
@@ -545,8 +598,11 @@ def _kernel_any(
 
             @pl.when(jnp.any(live_sc))
             def _():
+                # near members first: blockers are usually close to the
+                # shadow-ray origin, so rays decide (and the whole block
+                # early-outs) sooner
                 def inner(j, _):
-                    visit_cluster(sc * sc_size + j)
+                    visit_cluster(morder_ref[oct_, sc * sc_size + j])
                     return 0
 
                 jax.lax.fori_loop(0, sc_size, inner, 0)
@@ -603,24 +659,25 @@ def intersect_clusters_any(o, d, t_min, t_max, accel: ClusterAccel,
 
     nsc = accel.n_sc
     grid = ((n + pad) // block,)
-    row_blk = lambda h: pl.BlockSpec((h, block), lambda i, c, a, s: (0, i),
+    row_blk = lambda h: pl.BlockSpec((h, block),
+                                     lambda i, c, a, m, s: (0, i),
                                      memory_space=pltpu.VMEM)
-    out_blk = pl.BlockSpec((1, block), lambda i, c, a, s: (0, i),
+    out_blk = pl.BlockSpec((1, block), lambda i, c, a, m, s: (0, i),
                            memory_space=pltpu.VMEM)
-    smem_row = pl.BlockSpec((1, 1, nsc), lambda i, c, a, s: (i, 0, 0),
+    smem_row = pl.BlockSpec((1, 1, nsc), lambda i, c, a, m, s: (i, 0, 0),
                             memory_space=pltpu.SMEM)
 
     occ = pl.pallas_call(
         functools.partial(_kernel_any, n_sc=nsc, sc_size=accel.sc_size),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,  # counts + cluster/sc AABB planes -> SMEM
+            num_scalar_prefetch=4,  # counts + AABBs + member orders -> SMEM
             grid=grid,
             in_specs=[
                 row_blk(8),
                 row_blk(5),
                 smem_row,
                 pl.BlockSpec(accel.planes.shape,
-                             lambda i, c, a, s: (0, 0, 0),
+                             lambda i, c, a, m, s: (0, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[out_blk],
@@ -633,7 +690,7 @@ def intersect_clusters_any(o, d, t_min, t_max, accel: ClusterAccel,
         ),
         out_shape=[jax.ShapeDtypeStruct((1, n + pad), jnp.int32)],
         interpret=interpret,
-    )(sc_count, accel.aabb, accel.sc_aabb, rays, sel, sc_list,
+    )(sc_count, accel.aabb, accel.sc_aabb, accel.morder, rays, sel, sc_list,
       accel.planes)[0]
     return occ[0, :n] != 0
 
@@ -655,18 +712,19 @@ def intersect_clusters(o, d, t_min, t_max, accel: ClusterAccel,
 
     nsc = accel.n_sc
     grid = ((n + pad) // block,)
-    row_blk = lambda h: pl.BlockSpec((h, block), lambda i, c, a, s: (0, i),
+    row_blk = lambda h: pl.BlockSpec((h, block),
+                                     lambda i, c, a, m, s: (0, i),
                                      memory_space=pltpu.VMEM)
-    out_blk = pl.BlockSpec((1, block), lambda i, c, a, s: (0, i),
+    out_blk = pl.BlockSpec((1, block), lambda i, c, a, m, s: (0, i),
                            memory_space=pltpu.VMEM)
-    smem_row = pl.BlockSpec((1, 1, nsc), lambda i, c, a, s: (i, 0, 0),
+    smem_row = pl.BlockSpec((1, 1, nsc), lambda i, c, a, m, s: (i, 0, 0),
                             memory_space=pltpu.SMEM)
 
     t, idx, u, v = pl.pallas_call(
         functools.partial(_kernel, n_sc=nsc, sc_size=accel.sc_size,
                           csize=accel.csize),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,  # counts + cluster/sc AABB planes -> SMEM
+            num_scalar_prefetch=4,  # counts + AABBs + member orders -> SMEM
             grid=grid,
             in_specs=[
                 row_blk(8),
@@ -674,7 +732,7 @@ def intersect_clusters(o, d, t_min, t_max, accel: ClusterAccel,
                 smem_row,
                 smem_row,
                 pl.BlockSpec(accel.planes.shape,
-                             lambda i, c, a, s: (0, 0, 0),
+                             lambda i, c, a, m, s: (0, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[out_blk, out_blk, out_blk, out_blk],
@@ -692,8 +750,8 @@ def intersect_clusters(o, d, t_min, t_max, accel: ClusterAccel,
             jax.ShapeDtypeStruct((1, n + pad), jnp.float32),
         ],
         interpret=interpret,
-    )(sc_count, accel.aabb, accel.sc_aabb, rays, sel, sc_list, sc_entry,
-      accel.planes)
+    )(sc_count, accel.aabb, accel.sc_aabb, accel.morder, rays, sel, sc_list,
+      sc_entry, accel.planes)
     t = t[0, :n]
     idx = idx[0, :n]
     tri = jnp.where(idx >= 0, accel.order[jnp.maximum(idx, 0)], -1)
