@@ -289,8 +289,18 @@ def _balanced_grad_jit(
     return jax.value_and_grad(f, has_aux=True)(theta)
 
 
-def loss_and_grad(scene, params, width, height, spp, loss_fn, leaf_size=8):
+def loss_and_grad(scene, params, width, height, spp, loss_fn, leaf_size=8,
+                  volume_grad="balanced"):
     """Value+grad of loss_fn(image (H,W,3)) w.r.t. the trainable params.
+
+    Volume scenes route through the balanced work-queue replay by default
+    (volume_grad="balanced"): the image loss linearises exactly — the
+    per-pixel image is the spp-mean of the per-sample radiance, so
+    cot = d loss / d la comes from one cheap forward render — and the
+    backward pass replays at full wavefront utilisation instead of the
+    lockstep trace_diff's O(all-lanes x 512-step) walk (~20x wall on a
+    128^2 volume scene; volume_grad="lockstep" keeps the old path, whose
+    per-pixel RNG streams match the sequential reference exactly).
 
     Returns (loss, grads_dict).
     """
@@ -301,6 +311,11 @@ def loss_and_grad(scene, params, width, height, spp, loss_fn, leaf_size=8):
     )
     scene = jax.tree_util.tree_map(jnp.asarray, scene)
     theta0 = get_params(scene)
+
+    if params.integrator == "volume" and volume_grad == "balanced":
+        return _volume_loss_and_grad_balanced(
+            scene, theta0, bvh, params, width, height, spp, loss_fn
+        )
 
     @jax.jit
     def f(theta):
@@ -317,4 +332,46 @@ def loss_and_grad(scene, params, width, height, spp, loss_fn, leaf_size=8):
             "exceeded the static step bound; radiance/gradients lost tail "
             "terms (raise n_steps or lower the majorant)"
         )
+    return loss, grads
+
+
+def _volume_loss_and_grad_balanced(
+    scene, theta0, bvh, params, width, height, spp, loss_fn
+):
+    """Image-loss volume gradients via the balanced replay machine.
+
+    Phase 1: one non-differentiable balanced forward gives the per-sample
+    radiance la; the image is its spp-mean (matching render_lanes'
+    no-filter semantics), so d loss / d la = (d loss / d image) / spp —
+    the exact linearisation of any image loss.  Phase 2 hands that
+    cotangent to radiance_weighted_loss_and_grad (trace_balanced_loss),
+    which replays the identical per-item decisions under AD.
+    """
+    from . import render as render_mod
+
+    n = width * height
+    idx = jnp.arange(n, dtype=jnp.int32)
+    px = idx % width
+    py = idx // width
+    total_w = width + 2 * int(np.ceil(params.filter_width))
+    samples, _ = render_mod._setup_jit(px, py, total_w, spp)
+
+    scn0 = put_params(scene, theta0)
+    la, _, _ = render_mod._trace_balanced_jit(
+        samples, scn0, bvh, params, width, height, jnp.int32(0)
+    )
+    image = jnp.mean(la[..., :3], axis=0).reshape(height, width, 3)
+    loss, g_img = jax.value_and_grad(loss_fn)(image)
+    cot = jnp.concatenate(
+        [
+            jnp.broadcast_to(
+                g_img.reshape(1, n, 3) / np.float32(spp), (spp, n, 3)
+            ),
+            jnp.zeros((spp, n, 1)),
+        ],
+        axis=-1,
+    )
+    _, grads, _, _ = radiance_weighted_loss_and_grad(
+        scene, theta0, bvh, samples, cot, params, width, height
+    )
     return loss, grads

@@ -111,61 +111,56 @@ def test_texture_env_golden():
 def test_ring_golden():
     """Glossy near-mirror ring + two disk lights, vs the reference binary.
 
-    This scene's estimator is heavy-tailed (alpha = 0.05^2 GGX reflecting a
-    1723-intensity disk light): the reference's OWN 16-spp mean deviates
-    ~10% from its 512-spp mean at 64x64, so low-spp comparisons need
-    noise-calibrated tolerances.  Default suite: session 0 at 64x64 @32spp
-    vs the 512-spp reference golden (tolerance ~2.5x the reference's own
-    measured 16-spp noise).  The tight multi-session check runs at 256 spp
-    under NART_SLOW_TESTS (see test_ring_golden_tight)."""
-    from nart_tpu import render as render_mod
-    from nart_tpu.scene import load_scene
+    Default-suite check is the TIGHT one: the two ROUGHENED renderSessions
+    (rougheningFactor 0.2 / 0.3) at 64x64 @64spp vs the 512-spp reference
+    goldens — roughening tames the caustic tail enough for a 5% mean bound
+    (both sessions measured ~1.9% at this config).  The render runs on the
+    environment's accelerator via backend_render (subprocess; in-process
+    CPU fallback), replacing the old default that spent ~22 min of CPU on
+    a near-vacuous mean_tol 0.25 check (now test_ring_golden_loose,
+    slow-gated).  The unroughened session 0's estimator is too heavy-
+    tailed for tight bounds below 256 spp (the reference's OWN 16-spp mean
+    deviates ~10% from its 512-spp mean at 64x64); it is covered at 256
+    spp by test_ring_golden_tight."""
+    from tests.backend_render import render_image
 
     scene_path = os.path.join(REF_SCENES, "ring.json")
-    scene = load_scene(scene_path, asset_root="/root/reference")
-    sessions = render_mod.load_sessions(
-        scene_path, dict(image_width=64, image_height=64, spp=32)
-    )
-    assert len(sessions) == 3
-    sess = render_mod.RenderSession(scene, sessions[0])
-    _compare(
-        sess.image(),
-        os.path.join(GOLDEN, "ring_64x64_512spp_0.exr"),
-        mean_tol=0.25,
-        block_tol=0.5,
-        block_frac=0.8,
-    )
-
-
-@pytest.mark.skipif(
-    not os.environ.get("NART_SLOW_TESTS"), reason="slow: NART_SLOW_TESTS=1"
-)
-def test_ring_golden_roughened_tight():
-    """Tight ring check: the two ROUGHENED renderSessions (rougheningFactor
-    0.2 / 0.3) at 64 spp vs the 512-spp reference goldens.  Roughening
-    tames the caustic tail enough for a 5% mean bound (both sessions
-    measured ~1.9% at this config; the unroughened session 0's estimator
-    is too heavy-tailed for tight bounds below 256 spp and keeps its
-    noise-scaled tolerance above).  Slow-gated: the CPU-suite lockstep
-    walk over ring.geo's 8k tris takes >10 min at this sample count; on
-    the TPU backend (NART_TEST_PLATFORM="") it runs in under a minute."""
-    from nart_tpu import render as render_mod
-    from nart_tpu.scene import load_scene
-
-    scene_path = os.path.join(REF_SCENES, "ring.json")
-    scene = load_scene(scene_path, asset_root="/root/reference")
-    sessions = render_mod.load_sessions(
-        scene_path, dict(image_width=64, image_height=64, spp=64)
-    )
     for si in (1, 2):
-        sess = render_mod.RenderSession(scene, sessions[si])
+        ours = render_image(
+            scene_path,
+            dict(image_width=64, image_height=64, spp=64),
+            session_index=si,
+        )
         _compare(
-            sess.image(),
+            ours,
             os.path.join(GOLDEN, f"ring_64x64_512spp_{si}.exr"),
             mean_tol=0.05,
             block_tol=0.25,
             block_frac=0.85,
         )
+
+
+@pytest.mark.skipif(
+    not os.environ.get("NART_SLOW_TESTS"), reason="slow: NART_SLOW_TESTS=1"
+)
+def test_ring_golden_loose():
+    """Unroughened ring session 0 at 32 spp: noise-scaled (loose) bounds
+    (~2.5x the reference's own measured 16-spp noise at this config)."""
+    from tests.backend_render import render_image
+
+    scene_path = os.path.join(REF_SCENES, "ring.json")
+    ours = render_image(
+        scene_path,
+        dict(image_width=64, image_height=64, spp=32),
+        session_index=0,
+    )
+    _compare(
+        ours,
+        os.path.join(GOLDEN, "ring_64x64_512spp_0.exr"),
+        mean_tol=0.25,
+        block_tol=0.5,
+        block_frac=0.8,
+    )
 
 
 @pytest.mark.skipif(
@@ -270,32 +265,28 @@ def test_glasssphere_golden():
     )
 
 
-def _render_golden_scene(json_name, w, h, spp):
-    from nart_tpu import render as render_mod
-    from nart_tpu.scene import load_scene
+def _render_golden_scene(json_name, w, h, spp, fallback="cpu"):
+    from tests.backend_render import render_image
 
-    scene_path = os.path.join(GOLDEN, json_name)
-    scene = load_scene(scene_path, asset_root="/root/reference")
-    params = next(iter(render_mod.load_sessions(
-        scene_path, dict(image_width=w, image_height=h, spp=spp)
-    )))
-    sess = render_mod.RenderSession(scene, params)
-    return sess.image()
+    return render_image(
+        os.path.join(GOLDEN, json_name),
+        dict(image_width=w, image_height=h, spp=spp),
+        session_index=0,
+        fallback=fallback,
+    )
 
 
-@pytest.mark.skipif(
-    not os.environ.get("NART_SLOW_TESTS"), reason="slow: NART_SLOW_TESTS=1"
-)
 def test_cameralens_golden():
     """cameraLens: 94k-triangle lens assembly, metal/plastic roughness +
     rho maps, env-map importance sampling — the largest-mesh reference
     scene.  Stripped textures are substituted by surviving ones in
     cameraLens_sub.json (tools/gen_heavy_goldens.py); the golden was
     rendered by the reference binary from the identical substitute scene.
-    CPU-suite cost is dominated by the 94k-tri lockstep walk (~1 h), so
-    this runs under NART_SLOW_TESTS (fast on the TPU backend:
-    NART_TEST_PLATFORM="")."""
-    ours = _render_golden_scene("cameraLens_sub.json", 128, 128, 16)
+    Default-suite via the accelerator subprocess (seconds on the TPU);
+    skipped rather than fallen back when no accelerator is reachable —
+    the CPU walk over 94k tris is hour-class."""
+    ours = _render_golden_scene("cameraLens_sub.json", 128, 128, 16,
+                                fallback="skip")
     _compare(
         ours,
         os.path.join(GOLDEN, "cameraLens_sub_128x128_16spp.exr"),
@@ -305,15 +296,14 @@ def test_cameralens_golden():
     )
 
 
-@pytest.mark.skipif(
-    not os.environ.get("NART_SLOW_TESTS"), reason="slow: NART_SLOW_TESTS=1"
-)
 def test_glassicewater_golden():
     """glassIceWater: glass/ice/water/bubbles nested-dielectric priority
     stack (priorities 1-4), roughness + normal maps, 32 bounces — the
     deepest dielectric nesting in the reference.  Table textures are
-    substituted (tools/gen_heavy_goldens.py)."""
-    ours = _render_golden_scene("glassIceWater_sub.json", 128, 128, 16)
+    substituted (tools/gen_heavy_goldens.py).  Default-suite via the
+    accelerator subprocess; skip-on-unreachable like cameraLens."""
+    ours = _render_golden_scene("glassIceWater_sub.json", 128, 128, 16,
+                                fallback="skip")
     _compare(
         ours,
         os.path.join(GOLDEN, "glassIceWater_sub_128x128_16spp.exr"),
@@ -323,17 +313,13 @@ def test_glassicewater_golden():
     )
 
 
-@pytest.mark.skipif(
-    not os.environ.get("NART_SLOW_TESTS"), reason="slow: NART_SLOW_TESTS=1"
-)
 def test_dragonbunnyglass_golden():
     """dragonBunnyGlass class: rough glass sphere + glossy + plastic
     meshes under 3 area lights.  The stripped dragon/bunny meshes are
     substituted by ring.geo/monkey.geo re-posed in the same frame
-    (tools/gen_heavy_goldens.py).  Slow-gated like the other heavy
-    goldens: the CPU lockstep walk over ~10k tris runs >25 min at this
-    config; all three pass on the TPU backend in 2:23 total
-    (NART_TEST_PLATFORM="" NART_SLOW_TESTS=1)."""
+    (tools/gen_heavy_goldens.py).  Default-suite: accelerator subprocess
+    first; the CPU fallback (the cheapest of the three heavy scenes)
+    keeps the check alive off-host."""
     ours = _render_golden_scene("dragonBunnyGlass_sub.json", 128, 128, 16)
     _compare(
         ours,

@@ -331,3 +331,66 @@ def test_volume_balanced_gradient_matches_fd():
     np.testing.assert_allclose(g_ad, g_fd, rtol=1e-3)
     # sigma_a gradient exists and is positive (pure emission medium)
     assert float(grads["medium"]["sigma_a"]) > 0
+
+
+def test_volume_loss_and_grad_balanced_matches_fd():
+    """The image-loss convenience entry (loss_and_grad) routes volume
+    scenes through the balanced replay machine by default — verify its
+    gradient against finite differences of the SAME balanced estimator
+    (medium Le influences no sampling decision, so FD and AD agree to
+    first order)."""
+    import dataclasses
+
+    from nart_tpu.scene import LIGHT_ENV, LightData, MediumData
+
+    base = scenes.simple_scene(("lambert",))
+    dens = np.ones((4, 4, 4), np.float32)
+    medium = MediumData(
+        bounds_min=np.float32([-1, -1, -1]),
+        bounds_max=np.float32([1, 1, 1]),
+        sigma_a=np.float32(0.8), sigma_s=np.float32(0.0),
+        le=np.float32([2.0, 2.0, 2.0]), density=dens,
+        sigma_maj=0.8,
+    )
+    light = LightData(
+        kind=LIGHT_ENV, xf=np.eye(4, dtype=np.float32), radius=0.0,
+        inner_radius=0.0, intensity=np.float32(0.0),
+        le_const=np.zeros(3, np.float32), le_tex=None, env2d=None,
+    )
+    scene = dataclasses.replace(base, lights=[light], medium=medium)
+    params = render_mod.RenderParams(
+        image_width=8, image_height=8, spp=4, bounces=16,
+        integrator="volume", filter_width=1.0,
+    )
+    w = h = params.image_width
+
+    loss_fn = lambda img: jnp.sum(img)
+    loss, grads = grad_mod.loss_and_grad(scene, params, w, h, params.spp,
+                                         loss_fn)
+
+    # FD through the identical balanced forward (spp-mean image)
+    scene_j = jax.tree_util.tree_map(jnp.asarray, scene)
+    theta = grad_mod.get_params(scene_j)
+    n = w * h
+    idx = jnp.arange(n, dtype=jnp.int32)
+    total_w = w + 2 * int(np.ceil(params.filter_width))
+    samples, _ = render_mod._setup_jit(idx % w, idx // w, total_w,
+                                       params.spp)
+
+    def fwd_loss(th):
+        scn = grad_mod.put_params(scene_j, th)
+        la, _, _ = render_mod._trace_balanced_jit(
+            samples, scn, None, params, w, h, jnp.int32(0)
+        )
+        return float(jnp.sum(jnp.mean(la[..., :3], axis=0)))
+
+    np.testing.assert_allclose(float(loss), fwd_loss(theta), rtol=1e-5)
+
+    eps = 1e-2
+    up = dict(theta); up["medium"] = dict(theta["medium"])
+    up["medium"]["le"] = theta["medium"]["le"] + eps
+    dn = dict(theta); dn["medium"] = dict(theta["medium"])
+    dn["medium"]["le"] = theta["medium"]["le"] - eps
+    g_fd = (fwd_loss(up) - fwd_loss(dn)) / (2 * eps)
+    g_ad = float(np.asarray(grads["medium"]["le"]).sum())
+    np.testing.assert_allclose(g_ad, g_fd, rtol=1e-3)
