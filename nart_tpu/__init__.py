@@ -67,22 +67,34 @@ def _enable_persistent_compile_cache() -> None:
             or os.environ.get("JAX_PLATFORMS")
             or "default"
         ).replace(",", "-")
-        flags = hashlib.sha1(
-            os.environ.get("XLA_FLAGS", "").encode()
-        ).hexdigest()[:8]
-        host_bits = [_platform.machine(), _platform.processor()]
-        seen = set()
-        try:
-            with open("/proc/cpuinfo") as f:
-                for line in f:  # first core's lines identify the host
-                    k = line.split(":", 1)[0].strip()
-                    if k in ("flags", "model name", "Features") and k not in seen:
-                        seen.add(k)
-                        host_bits.append(line.strip())
-        except OSError:
-            pass
-        host = hashlib.sha1("|".join(host_bits).encode()).hexdigest()[:8]
-        cache = os.path.join(base, f"{plat}-{flags}-{host}")
+        if "cpu" in plat:
+            # CPU partitions stay keyed by XLA_FLAGS + host identity (the
+            # AOT-feature-set segfaults are CPU-only)
+            flags = hashlib.sha1(
+                os.environ.get("XLA_FLAGS", "").encode()
+            ).hexdigest()[:8]
+            host_bits = [_platform.machine(), _platform.processor()]
+            seen = set()
+            try:
+                with open("/proc/cpuinfo") as f:
+                    for line in f:  # first core's lines identify the host
+                        k = line.split(":", 1)[0].strip()
+                        if k in ("flags", "model name", "Features") \
+                                and k not in seen:
+                            seen.add(k)
+                            host_bits.append(line.strip())
+            except OSError:
+                pass
+            host = hashlib.sha1("|".join(host_bits).encode()).hexdigest()[:8]
+            cache = os.path.join(base, f"{plat}-{flags}-{host}")
+        else:
+            # accelerator partitions key on the platform ONLY: XLA's own
+            # cache key covers every flag that affects the executable, and
+            # hashing the raw XLA_FLAGS env (round 4) split the partition
+            # whenever a wrapper exported unrelated flags (e.g. the
+            # multichip dryrun's host-platform-device-count) — the driver
+            # then paid a full cold compile our warm runs never saw
+            cache = os.path.join(base, plat)
         try:
             os.makedirs(cache, exist_ok=True)
             jax.config.update("jax_compilation_cache_dir", cache)

@@ -154,17 +154,29 @@ def _flip_sign(z):
     return jnp.where(z > 0.0, np.float32(1.0), np.float32(-1.0))
 
 
-def _nearest_light(lights, o, d, t_lim):
+def _nearest_light(lights, o, d, t_lim, part=None):
     """The per-bounce light pass (pathintegrator.cpp:167-182).
 
-    Returns (le, t_light, light_hit) for the nearest light closer than t_lim.
-    """
+    Returns (le, t_light, light_hit) for the nearest light closer than
+    t_lim.  Packed disk/ring lights evaluate in ONE (N, L) matmul batch
+    with a single Le fetch for the argmin row (area_pack_nearest); only
+    env/distant lights keep the per-light loop."""
+    from ..lights import area_pack_nearest
+
+    if part is None:
+        part = _light_partition(lights)
+    pack, rest, _ = part
     n = o.shape[0]
     le = jnp.zeros((n, 3))
     t_best = t_lim
     hit = jnp.zeros((n,), bool)
-    for li in lights:
-        ev = light_eval(li, o, d)
+    if pack is not None:
+        p_le, p_t, p_hit = area_pack_nearest(pack, o, d, t_lim)
+        le = jnp.where(p_hit[:, None], p_le, le)
+        t_best = jnp.where(p_hit, p_t, t_best)
+        hit = hit | p_hit
+    for j in rest:
+        ev = light_eval(lights[j], o, d)
         closer = ev.t < t_best
         le = jnp.where(closer[:, None], ev.le, le)
         t_best = jnp.where(closer, ev.t, t_best)
@@ -371,7 +383,7 @@ def _make_bounce(scene, bvh, params, n, differentiable=False):
         p = paths
         # ---- light pass -------------------------------------------------
         le_cam, t_after_lights, light_hit = _nearest_light(
-            scene.lights, p.o, p.d, p.t_lim
+            scene.lights, p.o, p.d, p.t_lim, part=light_part
         )
         light_hit = light_hit & p.alive
         alpha = jnp.where(light_hit, 1.0, p.alpha)

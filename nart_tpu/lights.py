@@ -335,17 +335,26 @@ class AreaLightPack(NamedTuple):
     is_ring: jnp.ndarray  # (L,) bool
     area_pdf: jnp.ndarray  # (L,) eval-side area pdf
     pdf0_ring_scale: jnp.ndarray  # (L,) sample-side 1/(pi r^2) factor
-    le: jnp.ndarray  # (L, 3) le_const * intensity
+    le: jnp.ndarray  # (L, 3) le_const * intensity (0 for textured rows)
+    intensity: jnp.ndarray  # (L,)
+    tex_off: jnp.ndarray  # (L,) int32 atlas offset, -1 = constant Le
+    tex_w: jnp.ndarray  # (L,) int32
+    tex_h: jnp.ndarray  # (L,) int32
+    tex_atlas: jnp.ndarray  # (T, 3) f32 concatenated Le textures (or (1,3))
 
 
 def pack_area_lights(lights):
-    """Pack constant-Le disk/ring lights; returns (pack | None, rest_idx).
+    """Pack disk/ring lights (constant OR textured Le) into SoA tables;
+    returns (pack | None, rest_idx).
 
-    rest_idx are the original indices NOT covered (env/distant/textured)."""
+    rest_idx are the original indices NOT covered (env/distant).  Textured
+    Le images are concatenated into one flat atlas with per-row
+    (off, w, h); selected-light evaluation then needs ONE gather
+    regardless of the light count."""
     idx, rows = [], []
     rest = []
     for i, li in enumerate(lights):
-        if li.kind in (LIGHT_DISK, LIGHT_RING) and li.le_tex is None:
+        if li.kind in (LIGHT_DISK, LIGHT_RING):
             idx.append(i)
             rows.append(li)
         else:
@@ -356,6 +365,22 @@ def pack_area_lights(lights):
     zneg = jnp.asarray([0.0, 0.0, -1.0], jnp.float32)
     xpos = jnp.asarray([1.0, 0.0, 0.0], jnp.float32)
     ypos = jnp.asarray([0.0, 1.0, 0.0], jnp.float32)
+    tex_off, tex_w, tex_h, chunks = [], [], [], []
+    off = 0
+    for li in rows:
+        if li.le_tex is None:
+            tex_off.append(-1)
+            tex_w.append(0)
+            tex_h.append(0)
+        else:
+            h, w, _ = li.le_tex.shape
+            tex_off.append(off)
+            tex_w.append(w)
+            tex_h.append(h)
+            chunks.append(jnp.reshape(jnp.asarray(li.le_tex), (h * w, 3)))
+            off += h * w
+    atlas = (jnp.concatenate(chunks) if chunks
+             else jnp.zeros((1, 3), jnp.float32))
     pack = AreaLightPack(
         index=tuple(idx),
         center=jnp.stack([xf[:3, 3] for xf in xfs]),
@@ -388,10 +413,86 @@ def pack_area_lights(lights):
             [1.0 / (np.pi * li.radius**2) for li in rows], jnp.float32
         ),
         le=jnp.stack(
-            [jnp.asarray(li.le_const) * li.intensity for li in rows]
+            [
+                jnp.zeros(3, jnp.float32) if li.le_tex is not None
+                else jnp.asarray(li.le_const) * li.intensity
+                for li in rows
+            ]
         ),
+        intensity=jnp.asarray([li.intensity for li in rows], jnp.float32),
+        tex_off=jnp.asarray(tex_off, jnp.int32),
+        tex_w=jnp.asarray(tex_w, jnp.int32),
+        tex_h=jnp.asarray(tex_h, jnp.int32),
+        tex_atlas=atlas,
     )
     return pack, tuple(rest)
+
+
+def _pack_st(pack, lut, delta):
+    """Disk-parameterisation st of the SELECTED row (parity with
+    _disk_like_eval's st construction)."""
+    r = lut(pack.radius)
+    u = jnp.sum(delta * lut(pack.ux), axis=-1) / r
+    v = jnp.sum(delta * lut(pack.uy), axis=-1) / r
+    return jnp.stack([(u + 1.0) * 0.5, 1.0 - (v + 1.0) * 0.5], axis=-1)
+
+
+def _pack_le(pack, lut, st):
+    """Le * intensity of the selected row: constant table or ONE atlas
+    gather (parity with _le_value's clamps/v-flip)."""
+    le = lut(pack.le)
+    if pack.tex_atlas.shape[0] <= 1:
+        return le
+    off = lut(pack.tex_off)
+    w = lut(pack.tex_w)
+    h = lut(pack.tex_h)
+    u = jnp.clip(st[..., 0], 1e-4, 0.9999)
+    v = jnp.clip(1.0 - st[..., 1], 1e-4, 0.9999)
+    iu = (w.astype(jnp.float32) * u).astype(jnp.int32)
+    iv = (h.astype(jnp.float32) * v).astype(jnp.int32)
+    fetched = pack.tex_atlas[jnp.maximum(off, 0) + iv * w + iu]
+    fetched = fetched * lut(pack.intensity)[..., None]
+    return jnp.where((off >= 0)[..., None], fetched, le)
+
+
+def area_pack_nearest(pack: AreaLightPack, o, d, t_lim):
+    """Nearest packed light along each ray — the per-bounce light pass
+    (pathintegrator.cpp:167-182) over ALL pack rows at once.
+
+    (N, L) geometry via matmuls instead of a per-light python loop of
+    separate ops; the Le fetch happens ONCE for the argmin row.  Returns
+    (le, t (=t_lim where no hit), hit)."""
+    from .select import small_lut
+
+    nT = pack.n  # (L, 3)
+    wi_dot_n = d @ nT.T  # (N, L)
+    plane_d = jnp.sum(pack.center * pack.n, axis=-1)  # (L,)
+    t = _safe_div(plane_d[None, :] - o @ nT.T, wi_dot_n)
+    p_hit = o[:, None, :] + t[..., None] * d[:, None, :]  # (N, L, 3)
+    delta = p_hit - pack.center[None]
+    dist2 = jnp.sum(delta * delta, axis=-1)
+    r2 = pack.radius * pack.radius
+    ok = (
+        (wi_dot_n < 0.0)
+        & (t >= 0.0)
+        & (dist2 <= r2[None, :])
+        & (dist2 >= (pack.inner_k2 * r2)[None, :])
+    )
+    t_ok = jnp.where(ok, t, np.float32(np.inf))
+    sel = jnp.argmin(t_ok, axis=-1)
+    t_best = jnp.min(t_ok, axis=-1)
+    hit = t_best < t_lim
+    lut = small_lut(sel, pack.radius.shape[0])
+    delta_sel = jnp.sum(
+        jnp.where(
+            (sel[:, None] == jnp.arange(pack.radius.shape[0]))[..., None],
+            delta, 0.0,
+        ),
+        axis=1,
+    )
+    st = _pack_st(pack, lut, delta_sel)
+    le = jnp.where(hit[:, None], _pack_le(pack, lut, st), 0.0)
+    return le, jnp.where(hit, t_best, t_lim), hit
 
 
 def area_pack_eval(pack: AreaLightPack, sel, p, wi):
@@ -417,7 +518,8 @@ def area_pack_eval(pack: AreaLightPack, sel, p, wi):
     pdf = jnp.where(
         ok, lut(pack.area_pdf) * _safe_div(t * t, -wi_dot_n), 0.0
     )
-    le = jnp.where((pdf > 0.0)[..., None], lut(pack.le), 0.0)
+    st = _pack_st(pack, lut, delta)
+    le = jnp.where((pdf > 0.0)[..., None], _pack_le(pack, lut, st), 0.0)
     t_out = jnp.where(pdf > 0.0, t, np.float32(np.inf))
     return LightEval(le=le, pdf=pdf, t=t_out)
 
@@ -459,7 +561,12 @@ def area_pack_sample(pack: AreaLightPack, sel, p, u2):
     wi_dot_n = -jnp.sum(wi * n, axis=-1)
     visible = wi_dot_n > 0.0
     pdf = jnp.where(visible, pdf0 * _safe_div(dist * dist, wi_dot_n), 0.0)
-    le = jnp.where(visible[..., None], lut(pack.le), 0.0)
+    # sample-side st parity with _disk_like_sample (post-scale xy, the
+    # reference's own formula including its divide-after-offset quirk)
+    su = ((xy[..., 0] + 1.0) * 0.5) / radius
+    sv = ((xy[..., 1] + 1.0) * 0.5) / radius
+    st = jnp.stack([su, 1.0 - sv], axis=-1)
+    le = jnp.where(visible[..., None], _pack_le(pack, lut, st), 0.0)
     return le, wi, pdf, dist
 
 

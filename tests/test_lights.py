@@ -163,3 +163,78 @@ def test_distant_light_loads_from_json():
         scn = scene_mod.load_scene(path)
     assert len(scn.lights) == 1
     assert scn.lights[0].kind == scene_mod.LIGHT_DISTANT
+
+
+def test_area_pack_matches_per_light_eval():
+    """Packed disk/ring tables (constant AND textured Le) agree with the
+    per-light eval/sample path on every field."""
+    g = np.random.default_rng(7)
+    tex = g.random((8, 8, 3)).astype(np.float32) * 3.0
+    import dataclasses
+
+    lis = [
+        _disk(radius=1.0),
+        _disk(radius=0.7, inner=0.3, kind=scene_mod.LIGHT_RING,
+              intensity=1.5),
+        dataclasses.replace(_disk(radius=1.2, intensity=0.5), le_tex=tex),
+    ]
+    pack, rest = lights.pack_area_lights(lis)
+    assert pack is not None and rest == ()
+    n = 256
+    p = jnp.asarray(g.standard_normal((n, 3)).astype(np.float32))
+    wi = g.standard_normal((n, 3)).astype(np.float32)
+    wi = jnp.asarray(wi / np.linalg.norm(wi, axis=-1, keepdims=True))
+    u2 = _u2(n, 3)
+    for row, li in enumerate(lis):
+        sel = jnp.full((n,), row, jnp.int32)
+        ev_p = lights.area_pack_eval(pack, sel, p, wi)
+        ev_r = lights.light_eval(li, p, wi)
+        np.testing.assert_allclose(ev_p.pdf, ev_r.pdf, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(ev_p.le, ev_r.le, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(
+            np.where(np.isfinite(ev_p.t), ev_p.t, 0),
+            np.where(np.isfinite(ev_r.t), ev_r.t, 0), rtol=1e-5, atol=1e-6)
+        s_le, s_wi, s_pdf, s_t = lights.area_pack_sample(pack, sel, p, u2)
+        r_le, r_wi, r_pdf, r_t, _ = lights.light_sample(li, p, u2)
+        np.testing.assert_allclose(s_pdf, r_pdf, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(s_le, r_le, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(s_wi, r_wi, rtol=1e-5, atol=1e-6)
+
+
+def test_area_pack_nearest_matches_loop():
+    """area_pack_nearest (one (N, L) batch) == the per-light nearest loop."""
+    g = np.random.default_rng(11)
+    lis = []
+    for i in range(16):
+        xf = np.eye(4, dtype=np.float32)
+        xf[:3, 3] = g.standard_normal(3).astype(np.float32) * 2.0
+        lis.append(scene_mod.LightData(
+            kind=scene_mod.LIGHT_DISK, xf=xf,
+            radius=float(0.5 + g.random()), inner_radius=0.0,
+            intensity=np.float32(1.0 + i * 0.25),
+            le_const=g.random(3).astype(np.float32), le_tex=None,
+            env2d=None,
+        ))
+    pack, rest = lights.pack_area_lights(lis)
+    n = 512
+    o = jnp.asarray(g.standard_normal((n, 3)).astype(np.float32) * 3.0)
+    d = g.standard_normal((n, 3)).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    t_lim = jnp.full((n,), np.float32(np.inf))
+
+    le_p, t_p, hit_p = lights.area_pack_nearest(pack, o, d, t_lim)
+
+    le = np.zeros((n, 3), np.float32)
+    t_best = np.full((n,), np.inf, np.float32)
+    hit = np.zeros((n,), bool)
+    for li in lis:
+        ev = lights.light_eval(li, o, d)
+        closer = np.asarray(ev.t) < t_best
+        le = np.where(closer[:, None], np.asarray(ev.le), le)
+        t_best = np.where(closer, np.asarray(ev.t), t_best)
+        hit |= closer
+    np.testing.assert_array_equal(np.asarray(hit_p), hit)
+    np.testing.assert_allclose(
+        np.where(hit, np.asarray(t_p), 0), np.where(hit, t_best, 0),
+        rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(le_p), le, rtol=1e-5, atol=1e-6)

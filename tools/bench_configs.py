@@ -80,14 +80,23 @@ def run_config(name):
         params = render_mod.RenderParams(**kw)
         sess = render_mod.RenderSession(scene, params)
         film, rays = sess.render(with_stats=True)  # compile + warm scene
-        t0 = time.time()
-        film, rays = sess.render(with_stats=True)
-        dt = time.time() - t0
+        # 3 repetitions, report the MEDIAN and the min-max spread: round-4
+        # same-config numbers spread ~15% across runs (thermal/launch
+        # jitter), so single-shot numbers over-claim precision
+        times = []
+        for _ in range(3):
+            t0 = time.time()
+            film, rays = sess.render(with_stats=True)
+            times.append(time.time() - t0)
+        dt = sorted(times)[1]
         row = {
             "config": name if r is None else f"{name}_r{r}",
             "size": f"{w}x{h}", "spp": spp,
             "fwd_s": round(dt, 2),
             "fwd_mrays_per_s": round(rays / dt / 1e6, 3),
+            "fwd_spread_pct": round(
+                100.0 * (max(times) - min(times)) / dt, 1
+            ),
             "rays": int(rays),
             "validated_by": validation,
         }
@@ -99,11 +108,17 @@ def run_config(name):
 
             rc = {}
             bench_mod.fwdbwd_run(sess, rounds_cache=rc)  # compile
-            t0 = time.time()
-            rays_b, _ = bench_mod.fwdbwd_run(sess, rounds_cache=rc)
-            bwd_s = time.time() - t0
+            btimes = []
+            for _ in range(2):
+                t0 = time.time()
+                rays_b, _ = bench_mod.fwdbwd_run(sess, rounds_cache=rc)
+                btimes.append(time.time() - t0)
+            bwd_s = min(btimes)
             row["fwdbwd_s"] = round(bwd_s, 2)
             row["fwdbwd_mrays_per_s"] = round(rays_b / bwd_s / 1e6, 3)
+            row["fwdbwd_spread_pct"] = round(
+                100.0 * (max(btimes) - min(btimes)) / bwd_s, 1
+            )
         rows.append(row)
         print(json.dumps(row), flush=True)
     return rows

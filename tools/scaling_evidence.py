@@ -160,7 +160,8 @@ def main():
     }
     print(json.dumps(out, indent=1))
     suffix = "" if mode == "striped" else "_slab"
-    with open(os.path.join(REPO, f"SCALING_r04{suffix}.json"), "w") as f:
+    tag = os.environ.get("NART_SCALING_TAG", "r05")
+    with open(os.path.join(REPO, f"SCALING_{tag}{suffix}.json"), "w") as f:
         json.dump(out, f, indent=1)
 
 
