@@ -255,7 +255,9 @@ def _balanced_loss_fn(params):
     if params.integrator == "volume":
         from .integrators import volume as volume_integrator
 
-        return volume_integrator.trace_balanced_loss
+        # replay counterpart of the static-assignment forward the
+        # measuring pass (_measure_rounds_jit -> trace_vol_static) ran
+        return volume_integrator.trace_vol_static_loss
     return path_integrator.trace_balanced_loss
 
 

@@ -459,7 +459,9 @@ def _trace_balanced_jit(
     if params.integrator == "volume":
         from .integrators import volume as volume_integrator
 
-        tracer = volume_integrator.trace_balanced
+        # static strided assignment: bit-identical per-item results to the
+        # work queue at ~2x the throughput (see _static_vol_machine)
+        tracer = volume_integrator.trace_vol_static
     else:
         tracer = path_integrator.trace_balanced
     la, rays, rounds = tracer(

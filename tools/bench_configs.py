@@ -46,6 +46,13 @@ CONFIGS = {
         96, 96, 256, 64, {"integrator": "volume"},
         "tests/test_golden.py::test_volume_golden",
     ),
+    # the production-size volume row (round-5 crossover record: the TPU
+    # wins at BOTH sizes since the static-assignment scheduler landed)
+    "5b_volume_256": (
+        "tests/golden/volume_blob.json", "tests/golden",
+        256, 256, 256, 64, {"integrator": "volume"},
+        "tests/test_golden.py::test_volume_golden (same scene, 96^2)",
+    ),
 }
 
 
