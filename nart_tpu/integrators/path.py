@@ -21,6 +21,7 @@ erase = clear the newest matching slot).
 
 from __future__ import annotations
 
+import os as _os
 from typing import NamedTuple
 
 import jax
@@ -336,7 +337,10 @@ def _make_bounce(scene, bvh, params, n, differentiable=False):
                 key = _sort_key(scene_lo, scene_inv_extent, io, idd,
                                 tmax > 0.0)
                 perm = jnp.argsort(key)
-                h = isect_raw(io[perm], idd[perm], tmin[perm], tmax[perm])
+                h = intersect_clusters(
+                    io[perm], idd[perm], tmin[perm], tmax[perm], bvh,
+                    scalar_perm=_os.environ.get("NART_SCALAR_PERM", "1") == "1",
+                )
                 inv = (
                     jnp.zeros_like(perm)
                     .at[perm]
@@ -349,8 +353,10 @@ def _make_bounce(scene, bvh, params, n, differentiable=False):
                 key = _sort_key(scene_lo, scene_inv_extent, io, idd,
                                 tmax > 0.0)
                 perm = jnp.argsort(key)
-                occ = isect_occl_raw(io[perm], idd[perm], tmin[perm],
-                                     tmax[perm])
+                occ = intersect_clusters_any(
+                    io[perm], idd[perm], tmin[perm], tmax[perm], bvh,
+                    scalar_perm=_os.environ.get("NART_SCALAR_PERM", "1") == "1",
+                )
                 return (
                     jnp.zeros(occ.shape, jnp.int32)
                     .at[perm]
@@ -1044,15 +1050,25 @@ def trace_balanced_loss(
 
 
 def _sort_key(scene_lo, scene_inv_extent, o, d, alive):
-    """Ray-coherence sort key: direction octant + origin Morton cell.
+    """Ray-coherence sort key: major axis + direction octant + origin
+    Morton cell.
 
     Blocks of the Pallas intersection kernel are culled by a conservative
     interval test over the block's rays; incoherent blocks (direction
     intervals spanning zero) see every cluster.  Grouping lanes by rough
     direction and quantised origin restores block coherence for secondary
-    bounces.  Dead lanes sort to the back, packing into whole-dead blocks
-    the kernel skips entirely.
+    bounces.  The MAJOR-AXIS leading bits additionally make blocks
+    axis-uniform, which the scalar_perm kernels rely on for their
+    block-scalar watertight frame (pallas_accel._block_frame) — the C++
+    tie-break matches geometry.ray_shear exactly.  Dead lanes sort to the
+    back, packing into whole-dead blocks the kernel skips entirely.
     """
+    ad = jnp.abs(d)
+    axis = jnp.where(
+        ad[:, 0] > ad[:, 1],
+        jnp.where(ad[:, 0] > ad[:, 2], 0, 2),
+        jnp.where(ad[:, 1] > ad[:, 2], 1, 2),
+    ).astype(jnp.uint32)
     oct_ = (
         (d[:, 0] > 0).astype(jnp.uint32) * 4
         + (d[:, 1] > 0).astype(jnp.uint32) * 2
@@ -1070,7 +1086,11 @@ def _sort_key(scene_lo, scene_inv_extent, o, d, alive):
     morton = (
         (expand8(q[:, 0]) << 2) | (expand8(q[:, 1]) << 1) | expand8(q[:, 2])
     )
-    key = (oct_ << jnp.uint32(24)) | (morton >> jnp.uint32(3))
+    key = (
+        (axis << jnp.uint32(27))
+        | (oct_ << jnp.uint32(24))
+        | (morton >> jnp.uint32(3))
+    )
     return jnp.where(alive, key, jnp.uint32(0xFFFFFFFF))
 
 

@@ -62,13 +62,15 @@ def _le_value(light: LightData, st):
             jnp.asarray(light.le_const), st.shape[:-1] + (3,)
         )
     else:
+        from .select import auto_lut
+
         img = jnp.asarray(light.le_tex)
         h, w, _ = light.le_tex.shape
         u = jnp.clip(st[..., 0], 1e-4, 0.9999)
         v = jnp.clip(1.0 - st[..., 1], 1e-4, 0.9999)
         iu = (np.float32(w) * u).astype(jnp.int32)
         iv = (np.float32(h) * v).astype(jnp.int32)
-        le = img[iv, iu]
+        le = auto_lut(iv * w + iu, h * w)(img.reshape(h * w, 3))
     return le * light.intensity
 
 
@@ -157,12 +159,17 @@ def _disk_like_sample(light: LightData, p, u2, is_ring: bool):
 def env2d_pdf(dist: Env2D, st):
     """Piecewise2DDistribution::Pdf with TexturePattern::Pdf's clamps
     (texturepattern.cpp:104-109, 158-166)."""
+    from .select import auto_lut
+
     sx = jnp.minimum(st[..., 0], 0.9999)
     sy = jnp.minimum(st[..., 1], 0.9999)
     u = (sx * dist.width).astype(jnp.int32)
     v = (sy * dist.height).astype(jnp.int32)
-    marg = jnp.asarray(dist.marg_pdf)[v]
-    cond = jnp.asarray(dist.cond_pdf)[v, u]
+    h, w = dist.height, dist.width
+    marg = auto_lut(v, h)(jnp.asarray(dist.marg_pdf))
+    cond = auto_lut(v * w + u, h * w)(
+        jnp.asarray(dist.cond_pdf).reshape(h * w)
+    )
     return marg * cond
 
 
@@ -172,6 +179,8 @@ def env2d_sample(dist: Env2D, u2):
     Returns (uv (N,2), pdf (N,)).  Black-row lanes return pdf 0 and uc 0
     (the reference leaves pdf at the caller's initial 0 — same effect).
     """
+    from .select import auto_lut
+
     marg_cdf = jnp.asarray(dist.marg_cdf)
     marg_pdf = jnp.asarray(dist.marg_pdf)
     cond_cdf = jnp.asarray(dist.cond_cdf)
@@ -183,26 +192,37 @@ def env2d_sample(dist: Env2D, u2):
     lb = jnp.searchsorted(marg_cdf, sy, side="right").astype(jnp.int32) - 1
     lb = jnp.clip(lb, 0, h)  # BinarySearch range [0, h]
     vc = (
-        _safe_div(sy - marg_cdf[lb], marg_pdf[jnp.minimum(lb, h - 1)])
+        _safe_div(sy - auto_lut(lb, h + 1)(marg_cdf),
+                  auto_lut(jnp.minimum(lb, h - 1), h)(marg_pdf))
         + lb.astype(jnp.float32) * inv_h
     )
     vc = jnp.minimum(vc, np.float32(0.9999999))
     v = (vc * h).astype(jnp.int32)
 
-    row_ok = marg_pdf[v] > 0.0
+    marg_v = auto_lut(v, h)(marg_pdf)
+    row_ok = marg_v > 0.0
     sx = u2[..., 0]
-    row_cdf = cond_cdf[v]  # (N, w+1)
+    if h <= 64:  # one-hot matmul beats the row gather for small maps
+        oh = (
+            v[:, None] == jnp.arange(h, dtype=v.dtype)[None, :]
+        ).astype(jnp.float32)
+        row_cdf = oh @ cond_cdf  # (N, w+1)
+    else:
+        row_cdf = cond_cdf[v]  # (N, w+1)
     lb2 = jnp.clip(_rowwise_searchsorted(row_cdf, sx), 0, w)
+    cond_flat = cond_pdf.reshape(h * w)
     uc = (
         _safe_div(
             sx - jnp.take_along_axis(row_cdf, lb2[..., None], -1)[..., 0],
-            cond_pdf[v, jnp.minimum(lb2, w - 1)],
+            auto_lut(v * w + jnp.minimum(lb2, w - 1), h * w)(cond_flat),
         )
         + lb2.astype(jnp.float32) * inv_w
     )
     uc = jnp.minimum(uc, np.float32(0.9999999))
     u = (uc * w).astype(jnp.int32)
-    pdf = jnp.where(row_ok, marg_pdf[v] * cond_pdf[v, u], 0.0)
+    pdf = jnp.where(
+        row_ok, marg_v * auto_lut(v * w + u, h * w)(cond_flat), 0.0
+    )
     uc = jnp.where(row_ok, uc, 0.0)
     return jnp.stack([uc, vc], axis=-1), pdf
 

@@ -313,6 +313,99 @@ def _sel(x, y, z, axis):  # components (1,R), axis (1,R) -> (1,R)
     return jnp.where(axis == 0.0, x, jnp.where(axis == 1.0, y, z))
 
 
+def _block_frame(rv):
+    """Block-uniform watertight frame (scalar_perm mode).
+
+    The permute-shear selects are ~half the watertight tile ops when done
+    per ray ((C, R) where-chains per corner).  Rays are sorted by
+    (major axis, octant, origin) — path._sort_key — so a BLOCK-scalar
+    axis choice matches almost every ray: the majority major axis is
+    picked by |d|-sum vote over live lanes, the per-ray shear constants
+    are recomputed against it, and the corner selects collapse to scalar
+    row choices on (C, 1) vectors.  Watertightness needs only a
+    CONSISTENT frame per ray (shared edges get identical edge-function
+    values), which any fixed axis provides; a minority ray with a small
+    (even zero, clamped) component along the block axis only loses
+    shear-frame conditioning, the same degradation the reference accepts
+    near axis ties (geometry.cpp:3-15)."""
+    live = rv[7] > 0.0
+    lw = live.astype(jnp.float32)
+    ax = jnp.sum(jnp.abs(rv[3]) * lw)
+    ay = jnp.sum(jnp.abs(rv[4]) * lw)
+    az = jnp.sum(jnp.abs(rv[5]) * lw)
+    # C++ tie-break parity (geometry.cpp majorAxis selection)
+    major = jnp.where(ax > ay, jnp.where(ax > az, 0, 2),
+                      jnp.where(ay > az, 1, 2))
+    m0 = (major + 1) % 3
+    m1 = (major + 2) % 3
+
+    def srow(x, y, z, a):  # scalar axis pick over (1, R) rows
+        return jnp.where(a == 0, x, jnp.where(a == 1, y, z))
+
+    d_major = srow(rv[3], rv[4], rv[5], major)
+    inv = 1.0 / jnp.where(d_major == 0.0, np.float32(1e-30), d_major)
+    sx = -srow(rv[3], rv[4], rv[5], m0) * inv
+    sy = -srow(rv[3], rv[4], rv[5], m1) * inv
+    o_a = srow(rv[0], rv[1], rv[2], m0)
+    o_b = srow(rv[0], rv[1], rv[2], m1)
+    o_c = srow(rv[0], rv[1], rv[2], major)
+    return m0, m1, major, sx, sy, o_a, o_b, o_c
+
+
+def _watertight_frame(pcl, rv, frame):
+    """Watertight test in the block-scalar frame (see _block_frame).
+
+    Same math as _watertight with the (C, R) permutation selects replaced
+    by scalar row choices on (C, 1) vectors."""
+    m0, m1, major, sx, sy, o_a, o_b, o_c = frame
+    dx, dy, dz = rv[3], rv[4], rv[5]
+    ox, oy, oz = rv[0], rv[1], rv[2]
+    nx = pcl[9, :][:, None]
+    ny = pcl[10, :][:, None]
+    nz = pcl[11, :][:, None]
+    v0n = pcl[12, :][:, None]
+
+    d_dot_n = dx * nx + dy * ny + dz * nz
+    o_dot_n = ox * nx + oy * ny + oz * nz
+    t = (v0n - o_dot_n) / d_dot_n
+
+    def vsel(base):
+        x = pcl[base + 0, :][:, None]
+        y = pcl[base + 1, :][:, None]
+        z = pcl[base + 2, :][:, None]
+
+        def pick(a):
+            return jnp.where(a == 0, x, jnp.where(a == 1, y, z))
+
+        return pick(m0), pick(m1), pick(major)
+
+    def corner_xy(base):
+        va, vb, vc = vsel(base)
+        ca = va - o_a
+        cb = vb - o_b
+        cc = vc - o_c
+        return ca + cc * sx, cb + cc * sy
+
+    p0x, p0y = corner_xy(0)
+    p1x, p1y = corner_xy(3)
+    p2x, p2y = corner_xy(6)
+
+    def edge(ax_, ay_, bx_, by_):
+        pa = ax_ * by_
+        pb = ay_ * bx_
+        e = pa - pb
+        noise = (jnp.abs(pa) + jnp.abs(pb)) * np.float32(2.0**-22)
+        return jnp.where(jnp.abs(e) <= noise, 0.0, e)
+
+    e0 = edge(p1x, p1y, p2x, p2y)
+    e1 = edge(p2x, p2y, p0x, p0y)
+    e2 = edge(p0x, p0y, p1x, p1y)
+    neg = (e0 < 0) | (e1 < 0) | (e2 < 0)
+    pos = (e0 > 0) | (e1 > 0) | (e2 > 0)
+    hit = ~(neg & pos) & (jnp.abs(e0) + jnp.abs(e1) + jnp.abs(e2) != 0.0)
+    return hit, t, e0, e1, e0 + e1 + e2
+
+
 def _watertight(pcl, rv):
     """Watertight permute-shear test of one cluster against the ray block.
 
@@ -445,12 +538,23 @@ def _kernel(
     n_sc,
     sc_size,
     csize,
+    scalar_perm=False,
 ):
     blk = pl.program_id(0)
     rv = _ray_vectors(ray_ref, sel_ref)
     t_min = rv[6]
     inv_x, inv_y, inv_z = _inv_dir(rv[3], rv[4], rv[5])
     oct_ = _block_octant(rv)
+    if scalar_perm:
+        frame = _block_frame(rv)
+
+        def wt(pcl):
+            return _watertight_frame(pcl, rv, frame)
+
+    else:
+
+        def wt(pcl):
+            return _watertight(pcl, rv)
 
     t_out[:] = rv[7]
     idx_out[:] = jnp.full(t_out.shape, -1, jnp.int32)
@@ -467,7 +571,7 @@ def _kernel(
 
         @pl.when(jnp.any(live))
         def _():
-            hit, t, e0, e1, esum = _watertight(planes_ref[:, c, :], rv)
+            hit, t, e0, e1, esum = wt(planes_ref[:, c, :])
             t_best = t_out[0, :][None, :]
             hit = hit & (t > t_min) & (t < t_best)
 
@@ -545,6 +649,7 @@ def _kernel_any(
     *,
     n_sc,
     sc_size,
+    scalar_perm=False,
 ):
     """Any-hit (occlusion) variant of _kernel.
 
@@ -561,6 +666,16 @@ def _kernel_any(
     t_min, t_max = rv[6], rv[7]
     inv_x, inv_y, inv_z = _inv_dir(rv[3], rv[4], rv[5])
     oct_ = _block_octant(rv)
+    if scalar_perm:
+        frame = _block_frame(rv)
+
+        def wt(pcl):
+            return _watertight_frame(pcl, rv, frame)
+
+    else:
+
+        def wt(pcl):
+            return _watertight(pcl, rv)
 
     # parked/culled lanes (t_max <= 0) can never record a hit: seed them as
     # "occluded" so they count as decided for the early-out, and strip them
@@ -575,7 +690,7 @@ def _kernel_any(
 
         @pl.when(jnp.any(live))
         def _():
-            hit, t, _, _, _ = _watertight(planes_ref[:, c, :], rv)
+            hit, t, _, _, _ = wt(planes_ref[:, c, :])
             hit = hit & (t > t_min) & (t < t_max)
             occ_out[:] = jnp.maximum(
                 occ_out[0, :][None, :],
@@ -625,11 +740,13 @@ def _pad_rays(o, d, t_min, t_max, block):
     return o, d, t_min, t_max, n, pad
 
 
-def _ray_rows(o, d, t_min, t_max):
-    shear = ray_shear(d)
+def _ray_rows(o, d, t_min, t_max, with_sel=True):
     rays = jnp.stack(
         [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2], t_min, t_max]
     )  # (8, N)
+    if not with_sel:  # scalar_perm kernels build their frame in-kernel
+        return rays, jnp.zeros((5, rays.shape[1]), jnp.float32)
+    shear = ray_shear(d)
     sel = jnp.stack(
         [
             shear.perm[:, 0].astype(jnp.float32),
@@ -643,18 +760,20 @@ def _ray_rows(o, d, t_min, t_max):
 
 
 def intersect_clusters_any(o, d, t_min, t_max, accel: ClusterAccel,
-                           block=None, interpret=None):
+                           block=None, interpret=None, scalar_perm=False):
     """Boolean occlusion query: any hit with t in (t_min, t_max)?
 
     Same predicate as intersect_clusters(...).tri >= 0, but ~2x cheaper per
     cluster and with whole-block early-out — the shadow-ray fast path.
+    scalar_perm: block-uniform watertight frame (see _block_frame) — only
+    for callers that sort rays by (axis, octant, origin).
     """
     if block is None:
-        block = accel.block
+        block = int(_os.environ.get("NART_SHADOW_BLOCK", "0")) or accel.block
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     o, d, t_min, t_max, n, pad = _pad_rays(o, d, t_min, t_max, block)
-    rays, sel = _ray_rows(o, d, t_min, t_max)
+    rays, sel = _ray_rows(o, d, t_min, t_max, with_sel=not scalar_perm)
     sc_list, _, sc_count = build_block_lists(o, d, t_max, accel, block)
 
     nsc = accel.n_sc
@@ -668,7 +787,8 @@ def intersect_clusters_any(o, d, t_min, t_max, accel: ClusterAccel,
                             memory_space=pltpu.SMEM)
 
     occ = pl.pallas_call(
-        functools.partial(_kernel_any, n_sc=nsc, sc_size=accel.sc_size),
+        functools.partial(_kernel_any, n_sc=nsc, sc_size=accel.sc_size,
+                          scalar_perm=scalar_perm),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,  # counts + AABBs + member orders -> SMEM
             grid=grid,
@@ -696,18 +816,20 @@ def intersect_clusters_any(o, d, t_min, t_max, accel: ClusterAccel,
 
 
 def intersect_clusters(o, d, t_min, t_max, accel: ClusterAccel,
-                       block=None, interpret=None):
+                       block=None, interpret=None, scalar_perm=False):
     """Nearest-hit over the clustered scene.  Returns a Hit (original ids).
 
     interpret=None auto-selects: Mosaic on TPU backends, interpreter
     elsewhere (the CPU test mesh), so the same call site works everywhere.
+    scalar_perm: block-uniform watertight frame (see _block_frame) — only
+    for callers that sort rays by (axis, octant, origin).
     """
     if block is None:
         block = accel.block
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     o, d, t_min, t_max, n, pad = _pad_rays(o, d, t_min, t_max, block)
-    rays, sel = _ray_rows(o, d, t_min, t_max)
+    rays, sel = _ray_rows(o, d, t_min, t_max, with_sel=not scalar_perm)
     sc_list, sc_entry, sc_count = build_block_lists(o, d, t_max, accel, block)
 
     nsc = accel.n_sc
@@ -722,7 +844,7 @@ def intersect_clusters(o, d, t_min, t_max, accel: ClusterAccel,
 
     t, idx, u, v = pl.pallas_call(
         functools.partial(_kernel, n_sc=nsc, sc_size=accel.sc_size,
-                          csize=accel.csize),
+                          csize=accel.csize, scalar_perm=scalar_perm),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,  # counts + AABBs + member orders -> SMEM
             grid=grid,

@@ -39,6 +39,23 @@ def row_put(table, idx, val, mask=None):
     return jnp.where(oh, val, table)
 
 
+def auto_lut(idx, n, threshold=64):
+    """small_lut for tables up to `threshold` rows, plain gather beyond.
+
+    Small textures / CDF tables (placeholder env maps, low-res light
+    textures) pay the same ~0.5-0.7 ms scalar-loop gather cost per site
+    as any other small table; real 1k-wide tables are cheapest as
+    gathers (one-hot cost scales with n)."""
+    if n <= threshold:
+        return small_lut(idx, n)
+    ci = jnp.clip(idx, 0, n - 1)
+
+    def lut(table):
+        return jnp.asarray(table)[ci]
+
+    return lut
+
+
 def small_lut(idx, n):
     """One-hot row lookups into (n, ...) tables for per-lane index idx.
 
