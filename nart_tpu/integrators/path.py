@@ -339,7 +339,7 @@ def _make_bounce(scene, bvh, params, n, differentiable=False):
                 perm = jnp.argsort(key)
                 h = intersect_clusters(
                     io[perm], idd[perm], tmin[perm], tmax[perm], bvh,
-                    scalar_perm=_os.environ.get("NART_SCALAR_PERM", "1") == "1",
+                    scalar_perm=_os.environ.get("NART_SCALAR_PERM", "0") == "1",
                 )
                 inv = (
                     jnp.zeros_like(perm)
@@ -355,7 +355,7 @@ def _make_bounce(scene, bvh, params, n, differentiable=False):
                 perm = jnp.argsort(key)
                 occ = intersect_clusters_any(
                     io[perm], idd[perm], tmin[perm], tmax[perm], bvh,
-                    scalar_perm=_os.environ.get("NART_SCALAR_PERM", "1") == "1",
+                    scalar_perm=_os.environ.get("NART_SCALAR_PERM", "0") == "1",
                 )
                 return (
                     jnp.zeros(occ.shape, jnp.int32)
@@ -1049,6 +1049,15 @@ def trace_balanced_loss(
     return loss, paths.rays, unfinished
 
 
+# major-axis leading sort bits + the block-scalar watertight frame they
+# enable (pallas_accel._block_frame).  Measured NEUTRAL-to-negative on the
+# reference scenes (axis grouping splits octant/origin locality: cameraLens
+# 58.3 -> 66.7 ms/round with the bits on), so both default OFF; kept as
+# experimental knobs with a parity test (test_pallas.py::
+# test_scalar_perm_matches_per_ray_frame_on_sorted_rays).
+_AXIS_BITS = int(_os.environ.get("NART_AXIS_BITS", "0"))
+
+
 def _sort_key(scene_lo, scene_inv_extent, o, d, alive):
     """Ray-coherence sort key: major axis + direction octant + origin
     Morton cell.
@@ -1087,7 +1096,7 @@ def _sort_key(scene_lo, scene_inv_extent, o, d, alive):
         (expand8(q[:, 0]) << 2) | (expand8(q[:, 1]) << 1) | expand8(q[:, 2])
     )
     key = (
-        (axis << jnp.uint32(27))
+        (axis * jnp.uint32(_AXIS_BITS) << jnp.uint32(27))
         | (oct_ << jnp.uint32(24))
         | (morton >> jnp.uint32(3))
     )

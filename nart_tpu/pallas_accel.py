@@ -111,8 +111,12 @@ def build_clusters(tri_v: np.ndarray, super_target=SUPER_TARGET,
     super_target = (int(_os.environ.get("NART_SUPER_TARGET", "0"))
                     or super_target)
     if csize is None:
+        # round-5 re-measure: 128-tri clusters now win at every size
+        # (cameraLens 57.5 vs 59.1 ms/round at 64; the small-scene case
+        # was always 128) — the per-ray slab gates + f2b supercluster
+        # entries absorb what tighter AABBs used to buy
         csize = (int(_os.environ.get("NART_CLUSTER_SIZE", "0"))
-                 or (64 if large else CLUSTER))
+                 or CLUSTER)
     if block is None:
         block = (int(_os.environ.get("NART_PALLAS_BLOCK", "0"))
                  or (256 if large else BLOCK))
