@@ -19,6 +19,7 @@ Layer map (bottom → top), mirroring the reference's layering (SURVEY.md §1):
                   CDF build/sample/pdf in scene.py + lights.py)
   camera.py       pinhole ray generation
   geometry.py     watertight ray-triangle intersection (vectorised)
+  select.py       small-K one-hot select/update helpers (gather-free)
   accel.py        LBVH build (Morton) + wavefront traversal
   bxdf.py         5 BSDF lobes + aggregation (branchless, differentiable)
   lights.py       disk / ring / environment / distant lights + MIS pdfs
