@@ -350,6 +350,12 @@ def _make_bounce(scene, bvh, params, n, differentiable=False):
                 return jax.tree_util.tree_map(lambda x: x[inv], h)
 
             def isect_occl(io, idd, tmin, tmax):
+                if _os.environ.get("NART_SORT_SHADOW", "1") != "1":
+                    # shadow origins are the hit points of the (already
+                    # sorted) main rays, and each light strategy's half
+                    # points toward one light: blocks are origin-coherent
+                    # without their own argsort+permute+scatter round-trip
+                    return intersect_clusters_any(io, idd, tmin, tmax, bvh)
                 key = _sort_key(scene_lo, scene_inv_extent, io, idd,
                                 tmax > 0.0)
                 perm = jnp.argsort(key)

@@ -99,6 +99,36 @@ class ClusterAccel:
     block: int  # default rays-per-kernel-block for this accel
 
 
+def _median_split_order(centroid: np.ndarray, csize: int) -> np.ndarray:
+    """Recursive largest-axis median split; returns a triangle order.
+
+    Consecutive runs of csize triangles (the clusters) are spatially
+    DISJOINT half-spaces, unlike a Morton sort whose clusters overlap
+    badly on ring/shell geometry (a lens barrel's concentric elements put
+    distant triangles in one cluster, inflating every cluster AABB).  DFS
+    order keeps sibling leaves adjacent, so supercluster AABBs (groups of
+    consecutive clusters) inherit the same tightness."""
+    n = centroid.shape[0]
+    order = np.empty(n, np.int32)
+    pos = [0]
+    stack = [np.arange(n, dtype=np.int32)]
+    while stack:
+        idx = stack.pop()
+        if len(idx) <= csize:
+            order[pos[0]:pos[0] + len(idx)] = idx
+            pos[0] += len(idx)
+            continue
+        c = centroid[idx]
+        ax = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
+        # split at a cluster-size multiple so every leaf but the last is
+        # exactly csize (keeps the padded grid dense)
+        half = ((len(idx) // 2 + csize - 1) // csize) * csize
+        part = np.argpartition(c[:, ax], min(half, len(idx) - 1))
+        stack.append(idx[part[half:]])
+        stack.append(idx[part[:half]])
+    return order
+
+
 def build_clusters(tri_v: np.ndarray, super_target=SUPER_TARGET,
                    csize=None, block=None) -> ClusterAccel:
     tri_v = np.asarray(tri_v, np.float32)
@@ -118,16 +148,31 @@ def build_clusters(tri_v: np.ndarray, super_target=SUPER_TARGET,
         csize = (int(_os.environ.get("NART_CLUSTER_SIZE", "0"))
                  or CLUSTER)
     if block is None:
+        # large meshes: big blocks + per-128-lane chunk gating (see
+        # _kernel) amortize the visit-list walk over 4096 rays while the
+        # triangle test still runs at 128-lane granularity — measured
+        # 57.5 -> 48.4 ms/round on cameraLens vs the round-4 256-ungated
+        # default.  Small scenes keep 512 ungated (every chunk is live on
+        # a 10-cluster scene; gating is pure branch overhead: glassSphere
+        # 7.1 -> 5.4 Mrays/s if gated).
         block = (int(_os.environ.get("NART_PALLAS_BLOCK", "0"))
-                 or (256 if large else BLOCK))
+                 or (4096 if large else BLOCK))
     t = len(tri_v)
     lo = tri_v.min(axis=1)
     hi = tri_v.max(axis=1)
     centroid = 0.5 * (lo + hi)
     scene_lo = lo.min(axis=0)
     extent = np.maximum(hi.max(axis=0) - scene_lo, 1e-12)
-    codes = morton3(*((centroid - scene_lo) / extent).T)
-    order = np.argsort(codes, kind="stable").astype(np.int32)
+    method = _os.environ.get("NART_CLUSTER_METHOD",
+                             "median" if large else "morton")
+    if method == "median":
+        # disjoint half-space clusters: tighter AABBs on shell/ring
+        # geometry (cameraLens 52.2 -> 48.4 ms/round vs morton); morton
+        # measured better on small scenes (glassSphere 7.1 vs 6.6)
+        order = _median_split_order(centroid, csize)
+    else:
+        codes = morton3(*((centroid - scene_lo) / extent).T)
+        order = np.argsort(codes, kind="stable").astype(np.int32)
 
     n_cl = max(1, -(-t // csize))
     sc_size = max(1, -(-n_cl // super_target))
@@ -342,6 +387,11 @@ def _block_frame(rv):
                       jnp.where(ay > az, 1, 2))
     m0 = (major + 1) % 3
     m1 = (major + 2) % 3
+    return _frame_vectors(rv, m0, m1, major)
+
+
+def _frame_vectors(rv, m0, m1, major):
+    """Per-ray shear constants against block-scalar axes (m0, m1, major)."""
 
     def srow(x, y, z, a):  # scalar axis pick over (1, R) rows
         return jnp.where(a == 0, x, jnp.where(a == 1, y, z))
@@ -524,6 +574,31 @@ def _block_octant(rv):
     )
 
 
+def _ray_vectors_q(ray_ref, sel_ref, qs, qe, with_sel=True):
+    """Load lanes [qs, qe) of the ray/sel rows as fresh (1, q) vectors.
+
+    Chunked loads straight from the VMEM refs (NOT slices of the full-width
+    vectors: Mosaic cannot broadcast a lane-offset slice, 'Invalid input
+    layout')."""
+    ox = ray_ref[0, qs:qe][None, :]
+    oy = ray_ref[1, qs:qe][None, :]
+    oz = ray_ref[2, qs:qe][None, :]
+    dx = ray_ref[3, qs:qe][None, :]
+    dy = ray_ref[4, qs:qe][None, :]
+    dz = ray_ref[5, qs:qe][None, :]
+    t_min = ray_ref[6, qs:qe][None, :]
+    t_max = ray_ref[7, qs:qe][None, :]
+    if with_sel:
+        perm0 = sel_ref[0, qs:qe][None, :]
+        perm1 = sel_ref[1, qs:qe][None, :]
+        perm2 = sel_ref[2, qs:qe][None, :]
+        sx = sel_ref[3, qs:qe][None, :]
+        sy = sel_ref[4, qs:qe][None, :]
+    else:
+        perm0 = perm1 = perm2 = sx = sy = jnp.zeros_like(ox)
+    return ox, oy, oz, dx, dy, dz, t_min, t_max, perm0, perm1, perm2, sx, sy
+
+
 def _kernel(
     count_ref,  # (n_blocks,) int32, scalar-prefetched to SMEM
     aabb_ref,  # (6, n_clusters) f32, scalar-prefetched to SMEM
@@ -543,22 +618,15 @@ def _kernel(
     sc_size,
     csize,
     scalar_perm=False,
+    gate128=True,
 ):
     blk = pl.program_id(0)
     rv = _ray_vectors(ray_ref, sel_ref)
     t_min = rv[6]
+    r_full = rv[0].shape[1]
     inv_x, inv_y, inv_z = _inv_dir(rv[3], rv[4], rv[5])
     oct_ = _block_octant(rv)
-    if scalar_perm:
-        frame = _block_frame(rv)
-
-        def wt(pcl):
-            return _watertight_frame(pcl, rv, frame)
-
-    else:
-
-        def wt(pcl):
-            return _watertight(pcl, rv)
+    frame = _block_frame(rv) if scalar_perm else None
 
     t_out[:] = rv[7]
     idx_out[:] = jnp.full(t_out.shape, -1, jnp.int32)
@@ -567,41 +635,100 @@ def _kernel(
 
     cnt = count_ref[blk]
 
+    # per-chunk ray vectors/frames, loaded once from the refs (fresh
+    # aligned loads — Mosaic cannot re-layout lane-offset slices)
+    gate = gate128 and r_full > 128
+    if gate:
+        chunk_rv = {}
+        chunk_fr = {}
+        chunk_inv = {}
+        for qs in range(0, r_full, 128):
+            rvq = _ray_vectors_q(ray_ref, sel_ref, qs, qs + 128,
+                                 with_sel=not scalar_perm)
+            chunk_rv[qs] = rvq
+            chunk_inv[qs] = _inv_dir(rvq[3], rvq[4], rvq[5])
+            if scalar_perm:
+                chunk_fr[qs] = _frame_vectors(rvq, frame[0], frame[1],
+                                              frame[2])
+    else:
+        chunk_rv = {0: rv}
+        chunk_fr = {0: frame}
+        chunk_inv = {0: (inv_x, inv_y, inv_z)}
+
+    def test_chunk(c, pcl, qs, qe):
+        """Watertight test + argmin hit update on lanes [qs, qe)."""
+        rvq = chunk_rv[qs]
+        if scalar_perm:
+            hit, t, e0, e1, esum = _watertight_frame(pcl, rvq, chunk_fr[qs])
+        else:
+            hit, t, e0, e1, esum = _watertight(pcl, rvq)
+        t_best = t_out[0, qs:qe][None, :]
+        hit = hit & (t > rvq[6]) & (t < t_best)
+
+        # reduction argmin over the C (sublane) axis
+        t_hit = jnp.where(hit, t, INF)
+        t_sel = jnp.min(t_hit, axis=0, keepdims=True)  # (1, q)
+        rows = jax.lax.broadcasted_iota(jnp.int32, t_hit.shape, 0)
+        best = jnp.min(
+            jnp.where(t_hit == t_sel, rows, jnp.int32(csize + 1)),
+            axis=0,
+            keepdims=True,
+        )
+        onehot = (rows == best) & (t_hit == t_sel)
+        esums = jnp.sum(jnp.where(onehot, esum, 0.0), 0, keepdims=True)
+        e0s = jnp.sum(jnp.where(onehot, e0, 0.0), 0, keepdims=True)
+        e1s = jnp.sum(jnp.where(onehot, e1, 0.0), 0, keepdims=True)
+        better = t_sel < t_best
+        inv_det = 1.0 / jnp.where(esums == 0.0, 1.0, esums)
+        t_out[0:1, qs:qe] = jnp.where(better, t_sel, t_best)
+        idx_out[0:1, qs:qe] = jnp.where(
+            better, c * csize + best, idx_out[0, qs:qe][None, :]
+        )
+        u_out[0:1, qs:qe] = jnp.where(
+            better, e0s * inv_det, u_out[0, qs:qe][None, :]
+        )
+        v_out[0:1, qs:qe] = jnp.where(
+            better, e1s * inv_det, v_out[0, qs:qe][None, :]
+        )
+
     def visit_cluster(c):
-        """Per-ray slab gate + 128-triangle watertight test of cluster c."""
-        t_best = t_out[0, :][None, :]
-        live = _cluster_slab(aabb_ref, c, rv, inv_x, inv_y, inv_z,
-                             t_min, t_best)
+        """Per-ray slab gate + 128-triangle watertight test of cluster c.
 
-        @pl.when(jnp.any(live))
-        def _():
-            hit, t, e0, e1, esum = wt(planes_ref[:, c, :])
+        The slab gate runs per 128-lane CHUNK on the pre-loaded chunk
+        vectors (never lane-offset slices of full-width vectors — those
+        force Mosaic relayouts), and the triangle test is branched per
+        chunk: mid-trace only ~1.3/2 chunks of a 256-ray block have any
+        slab-live lane (tools/kernel_stats.py), so dead chunks skip the
+        (csize, 128) tile entirely.  Results are bit-identical (a
+        slab-failed lane can never record a hit)."""
+        if gate:
+            conds = {}
+            for qs in range(0, r_full, 128):
+                rvq = chunk_rv[qs]
+                ivq = chunk_inv[qs]
+                t_best_q = t_out[0, qs:qs + 128][None, :]
+                live_q = _cluster_slab(aabb_ref, c, rvq, ivq[0], ivq[1],
+                                       ivq[2], rvq[6], t_best_q)
+                conds[qs] = jnp.any(live_q)
+            any_live = functools.reduce(jnp.logical_or, conds.values())
+
+            @pl.when(any_live)
+            def _():
+                pcl = planes_ref[:, c, :]
+                for qs in range(0, r_full, 128):
+
+                    @pl.when(conds[qs])
+                    def _(qs=qs):
+                        test_chunk(c, pcl, qs, qs + 128)
+
+        else:
             t_best = t_out[0, :][None, :]
-            hit = hit & (t > t_min) & (t < t_best)
+            live = _cluster_slab(aabb_ref, c, rv, inv_x, inv_y, inv_z,
+                                 t_min, t_best)
 
-            # reduction argmin over the C (sublane) axis
-            t_hit = jnp.where(hit, t, INF)
-            t_sel = jnp.min(t_hit, axis=0, keepdims=True)  # (1, R)
-            rows = jax.lax.broadcasted_iota(jnp.int32, t_hit.shape, 0)
-            best = jnp.min(
-                jnp.where(t_hit == t_sel, rows, jnp.int32(csize + 1)),
-                axis=0,
-                keepdims=True,
-            )
-            onehot = (rows == best) & (t_hit == t_sel)
-            esums = jnp.sum(jnp.where(onehot, esum, 0.0), 0, keepdims=True)
-            e0s = jnp.sum(jnp.where(onehot, e0, 0.0), 0, keepdims=True)
-            e1s = jnp.sum(jnp.where(onehot, e1, 0.0), 0, keepdims=True)
-            better = t_sel < t_best
-            inv_det = 1.0 / jnp.where(esums == 0.0, 1.0, esums)
-            t_out[:] = jnp.where(better, t_sel, t_best)
-            idx_out[:] = jnp.where(
-                better,
-                c * csize + best,
-                idx_out[0, :][None, :],
-            )
-            u_out[:] = jnp.where(better, e0s * inv_det, u_out[0, :][None, :])
-            v_out[:] = jnp.where(better, e1s * inv_det, v_out[0, :][None, :])
+            @pl.when(jnp.any(live))
+            def _():
+                test_chunk(c, planes_ref[:, c, :], 0, r_full)
 
     def cond(carry):
         k, stop = carry
@@ -654,6 +781,7 @@ def _kernel_any(
     n_sc,
     sc_size,
     scalar_perm=False,
+    gate128=True,
 ):
     """Any-hit (occlusion) variant of _kernel.
 
@@ -663,23 +791,17 @@ def _kernel_any(
     it early-outs once every ray in the block is occluded — shadow rays
     toward the same light saturate fast.  Occlusion predicate matches the
     closest-hit kernel's hit.valid exactly: any watertight hit with t
-    strictly inside (t_min, t_max).
+    strictly inside (t_min, t_max).  Like _kernel, the triangle test is
+    gated per 128-lane chunk (skipped chunks have no undecided live lane —
+    bit-identical results).
     """
     blk = pl.program_id(0)
     rv = _ray_vectors(ray_ref, sel_ref)
     t_min, t_max = rv[6], rv[7]
+    r_full = rv[0].shape[1]
     inv_x, inv_y, inv_z = _inv_dir(rv[3], rv[4], rv[5])
     oct_ = _block_octant(rv)
-    if scalar_perm:
-        frame = _block_frame(rv)
-
-        def wt(pcl):
-            return _watertight_frame(pcl, rv, frame)
-
-    else:
-
-        def wt(pcl):
-            return _watertight(pcl, rv)
+    frame = _block_frame(rv) if scalar_perm else None
 
     # parked/culled lanes (t_max <= 0) can never record a hit: seed them as
     # "occluded" so they count as decided for the early-out, and strip them
@@ -687,19 +809,65 @@ def _kernel_any(
     occ_out[:] = (t_max <= 0.0).astype(jnp.int32)
     cnt = count_ref[blk]
 
-    def visit_cluster(c):
-        undecided = occ_out[0, :][None, :] == 0
-        live = _cluster_slab(aabb_ref, c, rv, inv_x, inv_y, inv_z,
-                             t_min, t_max) & undecided
+    gate = gate128 and r_full > 128
+    if gate:
+        chunk_rv = {}
+        chunk_fr = {}
+        chunk_inv = {}
+        for qs in range(0, r_full, 128):
+            rvq = _ray_vectors_q(ray_ref, sel_ref, qs, qs + 128,
+                                 with_sel=not scalar_perm)
+            chunk_rv[qs] = rvq
+            chunk_inv[qs] = _inv_dir(rvq[3], rvq[4], rvq[5])
+            if scalar_perm:
+                chunk_fr[qs] = _frame_vectors(rvq, frame[0], frame[1],
+                                              frame[2])
+    else:
+        chunk_rv = {0: rv}
+        chunk_fr = {0: frame}
+        chunk_inv = {0: (inv_x, inv_y, inv_z)}
 
-        @pl.when(jnp.any(live))
-        def _():
-            hit, t, _, _, _ = wt(planes_ref[:, c, :])
-            hit = hit & (t > t_min) & (t < t_max)
-            occ_out[:] = jnp.maximum(
-                occ_out[0, :][None, :],
-                jnp.max(hit.astype(jnp.int32), axis=0, keepdims=True),
-            )
+    def test_chunk(pcl, qs, qe):
+        rvq = chunk_rv[qs]
+        if scalar_perm:
+            hit, t, _, _, _ = _watertight_frame(pcl, rvq, chunk_fr[qs])
+        else:
+            hit, t, _, _, _ = _watertight(pcl, rvq)
+        hit = hit & (t > rvq[6]) & (t < rvq[7])
+        occ_out[0:1, qs:qe] = jnp.maximum(
+            occ_out[0, qs:qe][None, :],
+            jnp.max(hit.astype(jnp.int32), axis=0, keepdims=True),
+        )
+
+    def visit_cluster(c):
+        if gate:
+            conds = {}
+            for qs in range(0, r_full, 128):
+                rvq = chunk_rv[qs]
+                ivq = chunk_inv[qs]
+                und_q = occ_out[0, qs:qs + 128][None, :] == 0
+                live_q = _cluster_slab(aabb_ref, c, rvq, ivq[0], ivq[1],
+                                       ivq[2], rvq[6], rvq[7]) & und_q
+                conds[qs] = jnp.any(live_q)
+            any_live = functools.reduce(jnp.logical_or, conds.values())
+
+            @pl.when(any_live)
+            def _():
+                pcl = planes_ref[:, c, :]
+                for qs in range(0, r_full, 128):
+
+                    @pl.when(conds[qs])
+                    def _(qs=qs):
+                        test_chunk(pcl, qs, qs + 128)
+
+        else:
+            undecided = occ_out[0, :][None, :] == 0
+            live = _cluster_slab(aabb_ref, c, rv, inv_x, inv_y, inv_z,
+                                 t_min, t_max) & undecided
+
+            @pl.when(jnp.any(live))
+            def _():
+                test_chunk(planes_ref[:, c, :], 0, r_full)
 
     def cond(carry):
         k, stop = carry
@@ -764,7 +932,8 @@ def _ray_rows(o, d, t_min, t_max, with_sel=True):
 
 
 def intersect_clusters_any(o, d, t_min, t_max, accel: ClusterAccel,
-                           block=None, interpret=None, scalar_perm=False):
+                           block=None, interpret=None, scalar_perm=False,
+                           gate128=None):
     """Boolean occlusion query: any hit with t in (t_min, t_max)?
 
     Same predicate as intersect_clusters(...).tri >= 0, but ~2x cheaper per
@@ -774,6 +943,11 @@ def intersect_clusters_any(o, d, t_min, t_max, accel: ClusterAccel,
     """
     if block is None:
         block = int(_os.environ.get("NART_SHADOW_BLOCK", "0")) or accel.block
+    if gate128 is None:
+        # default: gate only the big-block (large-scene) configuration —
+        # see the block-size policy note in build_clusters
+        g = _os.environ.get("NART_QGATE", "")
+        gate128 = (g == "1") if g else block > 512
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     o, d, t_min, t_max, n, pad = _pad_rays(o, d, t_min, t_max, block)
@@ -792,7 +966,7 @@ def intersect_clusters_any(o, d, t_min, t_max, accel: ClusterAccel,
 
     occ = pl.pallas_call(
         functools.partial(_kernel_any, n_sc=nsc, sc_size=accel.sc_size,
-                          scalar_perm=scalar_perm),
+                          scalar_perm=scalar_perm, gate128=gate128),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,  # counts + AABBs + member orders -> SMEM
             grid=grid,
@@ -820,7 +994,8 @@ def intersect_clusters_any(o, d, t_min, t_max, accel: ClusterAccel,
 
 
 def intersect_clusters(o, d, t_min, t_max, accel: ClusterAccel,
-                       block=None, interpret=None, scalar_perm=False):
+                       block=None, interpret=None, scalar_perm=False,
+                       gate128=None):
     """Nearest-hit over the clustered scene.  Returns a Hit (original ids).
 
     interpret=None auto-selects: Mosaic on TPU backends, interpreter
@@ -830,6 +1005,11 @@ def intersect_clusters(o, d, t_min, t_max, accel: ClusterAccel,
     """
     if block is None:
         block = accel.block
+    if gate128 is None:
+        # default: gate only the big-block (large-scene) configuration —
+        # see the block-size policy note in build_clusters
+        g = _os.environ.get("NART_QGATE", "")
+        gate128 = (g == "1") if g else block > 512
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     o, d, t_min, t_max, n, pad = _pad_rays(o, d, t_min, t_max, block)
@@ -848,7 +1028,8 @@ def intersect_clusters(o, d, t_min, t_max, accel: ClusterAccel,
 
     t, idx, u, v = pl.pallas_call(
         functools.partial(_kernel, n_sc=nsc, sc_size=accel.sc_size,
-                          csize=accel.csize, scalar_perm=scalar_perm),
+                          csize=accel.csize, scalar_perm=scalar_perm,
+                          gate128=gate128),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,  # counts + AABBs + member orders -> SMEM
             grid=grid,

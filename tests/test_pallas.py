@@ -117,6 +117,33 @@ def test_anyhit_matches_closest_hit_validity(n_tris):
     )
 
 
+@pytest.mark.parametrize("gate", [False, True])
+def test_median_split_matches_brute(gate, monkeypatch):
+    """The median-split cluster order (large-mesh default) + 128-lane chunk
+    gating agree with the brute oracle (block=256 -> two gated chunks)."""
+    monkeypatch.setenv("NART_CLUSTER_METHOD", "median")
+    rng = np.random.default_rng(11)
+    tri_v = _random_tris(700, rng)
+    acc = build_clusters(tri_v)
+    n = 640
+    o, d = _random_rays(n, rng)
+    t_min = np.full(n, 1e-4, np.float32)
+    t_max = np.full(n, np.inf, np.float32)
+    hp = intersect_clusters(
+        jnp.asarray(o), jnp.asarray(d), jnp.asarray(t_min),
+        jnp.asarray(t_max), acc, block=256, interpret=True, gate128=gate,
+    )
+    hb = intersect_brute(
+        jnp.asarray(o), jnp.asarray(d), jnp.asarray(t_min),
+        jnp.asarray(t_max), jnp.asarray(tri_v),
+    )
+    np.testing.assert_array_equal(np.asarray(hp.tri), np.asarray(hb.tri))
+    hit = np.asarray(hb.tri) >= 0
+    np.testing.assert_allclose(
+        np.asarray(hp.t)[hit], np.asarray(hb.t)[hit], rtol=1e-4, atol=1e-5
+    )
+
+
 @pytest.mark.parametrize("super_target", [1, 2])
 def test_two_level_matches_brute(super_target):
     """Supercluster walk (sc_size > 1) agrees with the brute oracle.
