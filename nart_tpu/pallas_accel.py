@@ -139,14 +139,14 @@ def build_clusters(tri_v: np.ndarray, super_target=SUPER_TARGET,
     # tests, finer blocks see tighter interval bounds)
     large = len(tri_v) >= 32768
     super_target = (int(_os.environ.get("NART_SUPER_TARGET", "0"))
-                    or super_target)
+                    or (256 if large else super_target))
     if csize is None:
-        # round-5 re-measure: 128-tri clusters now win at every size
-        # (cameraLens 57.5 vs 59.1 ms/round at 64; the small-scene case
-        # was always 128) — the per-ray slab gates + f2b supercluster
-        # entries absorb what tighter AABBs used to buy
+        # large meshes: 64-tri clusters (half the per-visit tile at
+        # ~1.05 us per (csize,128) watertight — the VPU is compute-bound
+        # there, so smaller+tighter wins: cameraLens 48.3 -> 45.3
+        # ms/round with super_target 256); small scenes keep 128
         csize = (int(_os.environ.get("NART_CLUSTER_SIZE", "0"))
-                 or CLUSTER)
+                 or (64 if large else CLUSTER))
     if block is None:
         # large meshes: big blocks + per-128-lane chunk gating (see
         # _kernel) amortize the visit-list walk over 4096 rays while the
