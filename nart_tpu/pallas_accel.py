@@ -1,14 +1,16 @@
-"""Pallas TPU intersection kernel: Morton-clustered front-to-back traversal.
+"""Pallas TPU intersection kernel: clustered front-to-back traversal.
 
 Role parity: the BVH acceleration structure (reference src/core/bvh.cpp)
 re-designed for the TPU execution model.  Pointer-chasing per-ray traversal
 is hostile to the VPU; instead:
 
-  * triangles are Morton-sorted into clusters of 128 (the LBVH leaf level)
-    and stored as LANE-ALIGNED coordinate planes — 13 arrays of shape
-    (n_clusters, 128): the 9 corner coordinates plus the precomputed
-    unnormalised geometric normal and v0.n (hoisting the cross product out
-    of the kernel).  Every in-kernel tensor is then a natural (R, 128) tile;
+  * triangles are spatially clustered (recursive median split on large
+    meshes — disjoint half-space clusters; Morton sort on small ones) into
+    runs of csize (128 small / 64 large) and stored as LANE-ALIGNED
+    coordinate planes — 13 arrays of shape (n_clusters, csize): the 9
+    corner coordinates plus the precomputed unnormalised geometric normal
+    and v0.n (hoisting the cross product out of the kernel).  Every
+    in-kernel tensor is then a natural (csize, R) tile;
   * ray *blocks* are tested against cluster AABBs with conservative
     interval arithmetic, vectorised in XLA before the kernel launches, and
     compacted into a per-block visit list SORTED by the block's entry-t
@@ -72,13 +74,14 @@ SUPER_TARGET = 128
 )
 @dataclass
 class ClusterAccel:
-    """Two-level Morton-ordered triangle clusters.
+    """Two-level spatially-ordered triangle clusters.
 
-    Level 0: clusters of CLUSTER=128 triangles, lane-aligned coordinate
-    planes.  Level 1: superclusters of sc_size consecutive (Morton-ordered)
-    clusters — the granularity of the per-block visit lists.  sc_size is 1
-    for scenes under SUPER_TARGET clusters (the second level degenerates to
-    the first: zero overhead), else ceil(n_clusters / SUPER_TARGET).
+    Level 0: clusters of csize triangles (median-split or Morton order —
+    see build_clusters), lane-aligned coordinate planes.  Level 1:
+    superclusters of sc_size consecutive clusters — the granularity of
+    the per-block visit lists.  sc_size is 1 for scenes under the
+    supercluster target (the second level degenerates to the first: zero
+    overhead), else ceil(n_clusters / target).
     """
 
     planes: Any  # (13, n_clusters, csize): v0x v0y v0z v1x..v2z nx ny nz v0n
