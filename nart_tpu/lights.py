@@ -189,7 +189,28 @@ def env2d_sample(dist: Env2D, u2):
     inv_h, inv_w = np.float32(1.0 / h), np.float32(1.0 / w)
 
     sy = u2[..., 1]
-    lb = jnp.searchsorted(marg_cdf, sy, side="right").astype(jnp.int32) - 1
+    if dist.marg_inv is not None:
+        # bracketed inverse-CDF search: the (2h)-entry table bounds the
+        # bin to a 1-4 wide bracket, and marg_steps (build-time worst
+        # case, typically 1-3) exact bisection steps finish — vs the
+        # log2(h)-step rolled while-loop jnp.searchsorted lowers to
+        # (measured 7 ms/round on a 512x512 env map at 16k lanes)
+        marg_inv = jnp.asarray(dist.marg_inv)
+        m_sz = marg_inv.shape[0]
+        j = (sy * np.float32(m_sz - 1)).astype(jnp.int32)
+        lo = auto_lut(j, m_sz)(marg_inv)
+        hi = auto_lut(j + 1, m_sz)(marg_inv)
+        for _ in range(dist.marg_steps):
+            mid = (lo + hi + 1) // 2
+            go = auto_lut(mid, h + 1)(marg_cdf) <= sy
+            lo = jnp.where(go, mid, lo)
+            hi = jnp.where(go, hi, mid - 1)
+        lb = lo
+    else:
+        lb = (
+            jnp.searchsorted(marg_cdf, sy, side="right").astype(jnp.int32)
+            - 1
+        )
     lb = jnp.clip(lb, 0, h)  # BinarySearch range [0, h]
     vc = (
         _safe_div(sy - auto_lut(lb, h + 1)(marg_cdf),
@@ -202,18 +223,35 @@ def env2d_sample(dist: Env2D, u2):
     marg_v = auto_lut(v, h)(marg_pdf)
     row_ok = marg_v > 0.0
     sx = u2[..., 0]
-    if h <= 64:  # one-hot matmul beats the row gather for small maps
-        oh = (
-            v[:, None] == jnp.arange(h, dtype=v.dtype)[None, :]
-        ).astype(jnp.float32)
-        row_cdf = oh @ cond_cdf  # (N, w+1)
+    cc_flat = cond_cdf.reshape(h * (w + 1))
+    if dist.cond_inv is not None:
+        # row-bracketed search via flat gathers: never materialises the
+        # (N, w+1) per-lane CDF rows the rowwise compare-sum needed
+        cond_inv = jnp.asarray(dist.cond_inv)
+        mc_sz = cond_inv.shape[1]
+        ci_flat = cond_inv.reshape(h * mc_sz)
+        jc = (sx * np.float32(mc_sz - 1)).astype(jnp.int32)
+        lo = auto_lut(v * mc_sz + jc, h * mc_sz)(ci_flat)
+        hi = auto_lut(v * mc_sz + jc + 1, h * mc_sz)(ci_flat)
+        for _ in range(dist.cond_steps):
+            mid = (lo + hi + 1) // 2
+            go = auto_lut(v * (w + 1) + mid, h * (w + 1))(cc_flat) <= sx
+            lo = jnp.where(go, mid, lo)
+            hi = jnp.where(go, hi, mid - 1)
+        lb2 = jnp.clip(lo, 0, w)
     else:
-        row_cdf = cond_cdf[v]  # (N, w+1)
-    lb2 = jnp.clip(_rowwise_searchsorted(row_cdf, sx), 0, w)
+        if h <= 64:  # one-hot matmul beats the row gather for small maps
+            oh = (
+                v[:, None] == jnp.arange(h, dtype=v.dtype)[None, :]
+            ).astype(jnp.float32)
+            row_cdf = oh @ cond_cdf  # (N, w+1)
+        else:
+            row_cdf = cond_cdf[v]  # (N, w+1)
+        lb2 = jnp.clip(_rowwise_searchsorted(row_cdf, sx), 0, w)
     cond_flat = cond_pdf.reshape(h * w)
     uc = (
         _safe_div(
-            sx - jnp.take_along_axis(row_cdf, lb2[..., None], -1)[..., 0],
+            sx - auto_lut(v * (w + 1) + lb2, h * (w + 1))(cc_flat),
             auto_lut(v * w + jnp.minimum(lb2, w - 1), h * w)(cond_flat),
         )
         + lb2.astype(jnp.float32) * inv_w

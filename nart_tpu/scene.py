@@ -55,7 +55,8 @@ _MAT_CODES = {
 LIGHT_DISK, LIGHT_RING, LIGHT_ENV, LIGHT_DISTANT = 0, 1, 2, 3
 
 
-@pytree_dataclass(meta_fields=("width", "height"))
+@pytree_dataclass(meta_fields=("width", "height", "marg_steps",
+                               "cond_steps"))
 @dataclass
 class Env2D:
     """Piecewise-constant 2D distribution for env-map importance sampling.
@@ -71,6 +72,15 @@ class Env2D:
     cond_cdf: Any  # (h, w+1)
     width: int
     height: int
+    # inverse-CDF acceleration tables (None on tiny maps): inv[j] =
+    # searchsorted(cdf, j/M, 'right') - 1.  A sample u in [j/M, (j+1)/M)
+    # has its bin bracketed by [inv[j], inv[j+1]]; the *_steps meta fields
+    # are the BUILD-TIME worst-case bisection depths (static, usually 1-3
+    # vs log2(h) for the unbracketed search).  See lights.env2d_sample.
+    marg_inv: Any = None  # (2h+1,) int32
+    cond_inv: Any = None  # (h, 129) int32
+    marg_steps: int = 0
+    cond_steps: int = 0
 
 
 @dataclass
@@ -299,13 +309,50 @@ def _build_env2d(img: np.ndarray) -> Env2D:
     cond_cdf = np.zeros((h, w + 1))
     cond_cdf[:, 1:] = np.cumsum(cond, axis=1) / w
     cond_cdf[:, w] = 1.0
+    marg_cdf32 = marg_cdf.astype(np.float32)
+    cond_cdf32 = cond_cdf.astype(np.float32)
+    # inverse-CDF bracket tables (see Env2D docstring).  Built on the f32
+    # CDFs the sampler searches, so the brackets are exact for it.
+    marg_inv = cond_inv = None
+    marg_steps = cond_steps = 0
+    if h > 64:
+        # POWER-OF-TWO table sizes: u*M is an exact f32 exponent shift and
+        # j/M is exactly representable, so the bracket [inv[j], inv[j+1]]
+        # provably contains searchsorted(cdf, u)-1 — no rounding slack
+        M = 1 << int(np.ceil(np.log2(2 * h)))
+        grid = (np.arange(M + 1) / M).astype(np.float32)
+        marg_inv = (
+            np.searchsorted(marg_cdf32, grid, side="right").astype(np.int32)
+            - 1
+        )
+        marg_steps = int(
+            np.ceil(np.log2(np.maximum(np.diff(marg_inv).max() + 1, 1)))
+        )
+        Mc = min(1 << int(np.ceil(np.log2(max(w, 2)))), 1024)
+        gc = (np.arange(Mc + 1) / Mc).astype(np.float32)
+        cond_inv = np.empty((h, Mc + 1), np.int32)
+        for r in range(h):
+            cond_inv[r] = (
+                np.searchsorted(cond_cdf32[r], gc, side="right") - 1
+            )
+        cond_steps = int(
+            np.ceil(
+                np.log2(
+                    np.maximum(np.diff(cond_inv, axis=1).max() + 1, 1)
+                )
+            )
+        )
     return Env2D(
         marg_pdf=marg.astype(np.float32),
-        marg_cdf=marg_cdf.astype(np.float32),
+        marg_cdf=marg_cdf32,
         cond_pdf=cond.astype(np.float32),
-        cond_cdf=cond_cdf.astype(np.float32),
+        cond_cdf=cond_cdf32,
         width=w,
         height=h,
+        marg_inv=marg_inv,
+        cond_inv=cond_inv,
+        marg_steps=marg_steps,
+        cond_steps=cond_steps,
     )
 
 
